@@ -1,0 +1,391 @@
+"""Distributed inverted-index construction — the Spark-native replacement
+for the reference's SPIMI build + k-way merge
+(index/PartialIndexBuilder.java + index/IndexMerger.java).
+
+Architecture mapping (SURVEY.md §3.1):
+
+  reference                                  this engine
+  -----------------------------------------  ------------------------------
+  single-threaded TSV scan                   parquet/Iceberg scan
+  in-memory HashMap + 0.8-heap spill         hash-agg partial aggregation +
+  ("SPIMI block")                            shuffle spill (built-in)
+  PriorityQueue k-way merge of sorted runs   groupBy(term) shuffle
+  fixed-width binary files + byte offsets    partitioned Parquet tables
+  skip blocks every ceil(sqrt(n)) postings   one ROW per (term, block) —
+                                             no single-row memory ceiling
+                                             for hot terms
+
+Output layout under ``index_dir``:
+
+  flags.json       engine config (reference: Flags file)
+  stats.json       n_docs (Q-1 inflated), tot_doc_len, avgdl
+  doctable/        (doc_id, docno, repo, path, commit, lang, doc_len, sha256)
+  tf/              (term, doc_id, tf, doc_len)            — build checkpoint
+  lexicon/         (term, term_bucket, df, cf, idf, max_bm25, max_tfidf,
+                    n_blocks)
+  postings/        partitioned by term_bucket; one row per (term, block):
+                   (term, block_id, n_postings, max_doc_id,
+                    doc_ids, tfs, doc_lens | doc_ids_vb, tfs_unary,
+                    block_max_bm25, block_max_tfidf)
+  manifest.json    per-stage lineage: rows, files, per-file row counts,
+                   duration, docs/sec — the north_rule's resumable-build
+                   checkpoint record. A stage whose directory has _SUCCESS
+                   and a manifest entry is skipped on re-run (resume).
+
+Skew handling at 1e12-file scale:
+
+* df/cf/maxima aggregations are plain ``groupBy(term)`` — Spark's partial
+  (map-side) aggregation is exactly the two-phase salted pattern: each map
+  task emits one row per distinct term, so the hottest reducer receives at
+  most #map-tasks rows, never #postings.
+* block assignment never materializes a whole hot posting list in one task:
+  ``block_mode='range'`` (default) derives block_id from the doc_id range
+  arithmetically (no per-term sort), so a term with 1e11 postings becomes
+  ~sqrt(1e11) independent (term, block) groups spread across the cluster.
+  ``block_mode='count'`` is the reference-faithful ceil(sqrt(n))-per-block
+  layout via a per-term window — used for block-structure parity tests.
+* the tf -> blocks join (term, df/idf) runs with AQE skew-join splitting;
+  the lexicon side is pre-projected to 2 columns.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import EngineConfig
+from ..functions import codecs
+from ..functions.scoring import bm25_partial_expr, idf_expr, tfidf_partial_expr
+from ..functions.text import tokenize, truncate_terms
+from ..sources.corpus import assign_doc_ids, filter_malformed, with_sha256
+
+STAGES = ("doctable", "tf", "lexicon", "postings")
+
+
+def term_bucket_expr(term, n_buckets: int):
+    """Stable term -> bucket hash usable from both JVM and Python sides
+    (crc32 — query-time pruning computes the same value with zlib.crc32)."""
+    return F.pmod(F.crc32(term.cast("binary")), F.lit(n_buckets)).cast("int")
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+class IndexBuilder:
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        config: Optional[EngineConfig] = None,
+    ):
+        self.spark = spark
+        self.index_dir = index_dir.rstrip("/")
+        self.config = config or EngineConfig()
+        self._manifest_path = os.path.join(self.index_dir, "manifest.json")
+
+    # ---------- manifest / resume ----------
+
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {"stages": {}}
+
+    def _save_manifest(self, manifest: dict) -> None:
+        os.makedirs(self.index_dir, exist_ok=True)
+        with open(self._manifest_path, "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+
+    def _stage_done(self, manifest: dict, stage: str) -> bool:
+        path = os.path.join(self.index_dir, stage)
+        return stage in manifest["stages"] and os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        )
+
+    def _finish_stage(
+        self, manifest: dict, stage: str, t0: float, extra: Optional[dict] = None
+    ) -> None:
+        """Record per-partition lineage for a written stage: row count per
+        output file (the written partition), total rows, wall time and
+        docs/sec — north_rule's 'per-partition lineage and docs/sec'."""
+        path = os.path.join(self.index_dir, stage)
+        per_file = (
+            self.spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("file"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        )
+        rows = sum(r["rows"] for r in per_file)
+        dt = time.time() - t0
+        entry = {
+            "rows": rows,
+            "files": {os.path.basename(r["file"]): r["rows"] for r in per_file},
+            "duration_sec": round(dt, 3),
+            "rows_per_sec": round(rows / dt, 1) if dt > 0 else None,
+        }
+        if extra:
+            entry.update(extra)
+        manifest["stages"][stage] = entry
+        self._save_manifest(manifest)
+
+    # ---------- build ----------
+
+    def build(self, corpus: DataFrame, resume: bool = True) -> dict:
+        """Run the full build. ``corpus`` has the canonical schema
+        (repo, path, commit, lang, content). Returns the manifest."""
+        cfg = self.config
+        manifest = self._load_manifest() if resume else {"stages": {}}
+        cfg.save(self.index_dir)
+
+        # --- stage 1: doctable (+ tokenized doc lengths) ---
+        if not self._stage_done(manifest, "doctable"):
+            t0 = time.time()
+            base = with_sha256(filter_malformed(corpus))
+            base = assign_doc_ids(base)
+            tokens = tokenize(F.col("content"), cfg)
+            doc = base.withColumn("tokens", tokens).withColumn(
+                "doc_len", F.size("tokens")
+            )
+            # empty-after-preprocessing docs are still doctable rows in the
+            # reference (stored before tokens are inspected,
+            # PartialIndexBuilder.java:63-64) — keep them, doc_len = 0
+            (
+                doc.select(
+                    "doc_id",
+                    F.concat_ws("/", "repo", "path").alias("docno"),
+                    "repo",
+                    "path",
+                    "commit",
+                    "lang",
+                    "doc_len",
+                    "sha256",
+                )
+                .repartition(cfg.shuffle_partitions, "doc_id")
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.index_dir, "doctable"))
+            )
+            self._finish_stage(manifest, "doctable", t0)
+
+        doctable = self.spark.read.parquet(os.path.join(self.index_dir, "doctable"))
+
+        # --- stage 2: tf table (term, doc_id, tf, doc_len) ---
+        # The (term, doc_id) count is the SPIMI in-memory tf accumulation
+        # (PartialIndexBuilder.java:119-138) as one partial+final hash agg.
+        if not self._stage_done(manifest, "tf"):
+            t0 = time.time()
+            base = with_sha256(filter_malformed(corpus))
+            base = assign_doc_ids(base)
+            toks = base.select(
+                "doc_id", truncate_terms(tokenize(F.col("content"), cfg), cfg).alias("tokens")
+            ).withColumn("doc_len", F.size("tokens"))
+            tf = (
+                toks.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
+                .groupBy("term", "doc_id", "doc_len")
+                .agg(F.count("*").alias("tf"))
+                .select("term", "doc_id", F.col("tf").cast("int").alias("tf"), "doc_len")
+            )
+            tf.write.mode("overwrite").parquet(os.path.join(self.index_dir, "tf"))
+            self._finish_stage(manifest, "tf", t0)
+
+        tf = self.spark.read.parquet(os.path.join(self.index_dir, "tf"))
+
+        # --- stage 3: collection stats (Q-1 parity) ---
+        stats_path = os.path.join(self.index_dir, "stats.json")
+        if not (resume and os.path.exists(stats_path) and "stats" in manifest["stages"]):
+            t0 = time.time()
+            row = doctable.agg(
+                F.count("*").alias("n"), F.sum("doc_len").alias("tot")
+            ).collect()[0]
+            true_docs = row["n"]
+            n_docs = true_docs + 1  # Q-1: reference stores counter+1
+            tot_doc_len = float(row["tot"] or 0.0)
+            stats = {
+                "true_doc_count": true_docs,
+                "n_docs": n_docs,
+                "tot_doc_len": tot_doc_len,
+                "avgdl": tot_doc_len / n_docs,
+            }
+            with open(stats_path, "w") as f:
+                json.dump(stats, f, indent=2)
+            manifest["stages"]["stats"] = {
+                "duration_sec": round(time.time() - t0, 3),
+                **stats,
+            }
+            self._save_manifest(manifest)
+        with open(stats_path) as f:
+            stats = json.load(f)
+
+        n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+
+        # --- stage 4: lexicon ---
+        # df/cf/maxima via partial-agg groupBy (map-side combine = the
+        # salted two-phase pattern; reducer sees <= #tasks rows per term).
+        # Stores the TRUE global maxima (fixing reference quirk Q-2 where
+        # the last block's max overwrites the term max,
+        # IndexMerger.java:178-204).
+        if not self._stage_done(manifest, "lexicon"):
+            t0 = time.time()
+            bm25_p = bm25_partial_expr(F.col("tf"), F.col("doc_len"), avgdl, cfg.k1, cfg.b)
+            tfidf_p = tfidf_partial_expr(F.col("tf"))
+            lex = (
+                tf.groupBy("term")
+                .agg(
+                    F.count("*").alias("df"),
+                    F.sum("tf").alias("cf"),
+                    F.max(bm25_p).alias("max_bm25_partial"),
+                    F.max(tfidf_p).alias("max_tfidf_partial"),
+                )
+                .withColumn("idf", idf_expr(n_docs, F.col("df")))
+                .withColumn("max_bm25", F.col("max_bm25_partial") * F.col("idf"))
+                .withColumn("max_tfidf", F.col("max_tfidf_partial") * F.col("idf"))
+                .withColumn("term_bucket", term_bucket_expr(F.col("term"), cfg.n_term_buckets))
+                .withColumn(
+                    "block_size",
+                    F.when(
+                        F.col("df") >= cfg.skip_threshold,
+                        F.ceil(F.sqrt(F.col("df"))),
+                    ).otherwise(F.col("df")).cast("int"),
+                )
+                .withColumn(
+                    "n_blocks",
+                    F.ceil(F.col("df").cast("double") / F.col("block_size")).cast("int"),
+                )
+                .select(
+                    "term", "term_bucket", "df", "cf", "idf",
+                    "max_bm25", "max_tfidf", "block_size", "n_blocks",
+                )
+            )
+            (
+                lex.repartition(cfg.shuffle_partitions, "term_bucket")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .partitionBy("term_bucket")
+                .parquet(os.path.join(self.index_dir, "lexicon"))
+            )
+            self._finish_stage(manifest, "lexicon", t0)
+
+        lexicon = self.spark.read.parquet(os.path.join(self.index_dir, "lexicon"))
+
+        # --- stage 5: postings (one row per term-block) ---
+        if not self._stage_done(manifest, "postings"):
+            t0 = time.time()
+            lex_keys = lexicon.select("term", "df", "idf", "block_size", "n_blocks")
+            joined = tf.join(lex_keys, "term")  # shuffle join; AQE splits skew
+
+            if cfg.block_mode == "count":
+                # reference-faithful: ceil(sqrt(n))-sized blocks in docId
+                # order (IndexMerger.java:172-205). Window sort per term.
+                w = Window.partitionBy("term").orderBy("doc_id")
+                joined = joined.withColumn(
+                    "block_id",
+                    F.floor((F.row_number().over(w) - 1) / F.col("block_size")).cast("int"),
+                )
+            else:
+                # scale path: doc_id-range blocks — arithmetic only, fully
+                # parallel. Same query semantics (blocks are doc_id-disjoint
+                # and ordered); boundaries differ from 'count' mode.
+                max_doc = stats["true_doc_count"]
+                joined = joined.withColumn(
+                    "block_id",
+                    F.least(
+                        F.floor(
+                            (F.col("doc_id") - 1)
+                            / F.ceil(F.lit(float(max_doc)) / F.col("n_blocks"))
+                        ),
+                        F.col("n_blocks") - 1,
+                    ).cast("int"),
+                )
+
+            bm25_p = bm25_partial_expr(F.col("tf"), F.col("doc_len"), avgdl, cfg.k1, cfg.b)
+            tfidf_p = tfidf_partial_expr(F.col("tf"))
+            blocks = (
+                joined.groupBy("term", "block_id")
+                .agg(
+                    F.count("*").alias("n_postings"),
+                    F.max("doc_id").alias("max_doc_id"),
+                    F.sort_array(
+                        F.collect_list(F.struct("doc_id", "tf", "doc_len"))
+                    ).alias("plist"),
+                    (F.max(bm25_p) * F.first("idf")).alias("block_max_bm25"),
+                    (F.max(tfidf_p) * F.first("idf")).alias("block_max_tfidf"),
+                )
+                .select(
+                    "term",
+                    "block_id",
+                    F.col("n_postings").cast("int").alias("n_postings"),
+                    "max_doc_id",
+                    F.col("plist.doc_id").alias("doc_ids"),
+                    F.col("plist.tf").alias("tfs"),
+                    F.col("plist.doc_len").alias("doc_lens"),
+                    "block_max_bm25",
+                    "block_max_tfidf",
+                )
+                .withColumn("term_bucket", term_bucket_expr(F.col("term"), cfg.n_term_buckets))
+            )
+
+            if cfg.compression:
+                blocks = _compress_blocks(blocks)
+
+            (
+                blocks.repartition(cfg.shuffle_partitions, "term_bucket")
+                .sortWithinPartitions("term", "block_id")
+                .write.mode("overwrite")
+                .partitionBy("term_bucket")
+                .parquet(os.path.join(self.index_dir, "postings"))
+            )
+            self._finish_stage(
+                manifest, "postings", t0, {"block_mode": cfg.block_mode}
+            )
+
+        manifest["index_dir"] = self.index_dir
+        self._save_manifest(manifest)
+        return manifest
+
+
+def _compress_blocks(blocks: DataFrame) -> DataFrame:
+    """Replace the array columns with reference-format compressed binaries
+    (VByte docIds + Unary tfs) via an Arrow-batched pandas UDF.
+    doc_lens are dropped — the compressed query path re-joins the doctable
+    (reference behavior: doc length looked up at score time, Score.java:26).
+    """
+    import pandas as pd
+
+    @F.pandas_udf(T.BinaryType())
+    def vb(col: pd.Series) -> pd.Series:
+        return col.map(lambda a: codecs.vbyte_encode(a))
+
+    @F.pandas_udf(T.BinaryType())
+    def un(col: pd.Series) -> pd.Series:
+        return col.map(lambda a: codecs.unary_encode(a))
+
+    return blocks.select(
+        "term",
+        "term_bucket",
+        "block_id",
+        "n_postings",
+        "max_doc_id",
+        vb(F.col("doc_ids")).alias("doc_ids_vb"),
+        un(F.col("tfs")).alias("tfs_unary"),
+        "block_max_bm25",
+        "block_max_tfidf",
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    config: Optional[EngineConfig] = None,
+    resume: bool = True,
+) -> dict:
+    return IndexBuilder(spark, index_dir, config).build(corpus, resume=resume)

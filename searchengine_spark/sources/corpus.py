@@ -1,0 +1,112 @@
+"""Corpus sources — load the canonical source-code table and assign
+deterministic dense doc_ids.
+
+Canonical input schema (BASELINE.json input_hint):
+    (repo: string, path: string, commit: string, lang: string, content: string)
+
+This plays the role of the reference's collection scan of ``docno \\t text``
+TSV lines from collection.tar.gz (PartialIndexBuilder.java:34-53): ``docno``
+becomes the natural key (repo, path, commit); blank / malformed lines become
+the null/empty-content filter (PartialIndexBuilder.java:51-53).
+
+doc_id assignment
+-----------------
+The reference assigns dense sequential ints in input order via a
+single-threaded counter (PartialIndexBuilder.java:31, 83). The distributed
+equivalent is a dense rank over the natural key's total order. Two
+implementations:
+
+* ``assign_doc_ids(two_phase=False)`` — one global window. Simple, but a
+  single-task sort: fine at test scale, a bottleneck at 1e12 rows.
+* ``assign_doc_ids(two_phase=True)`` (default) — range-repartition by the
+  key, sort within partitions, count rows per partition (tiny collect),
+  and add the exclusive-prefix-sum offset to the within-partition
+  row_number. Because the key order is total and unique, the resulting
+  ids are identical regardless of partition boundaries or parallelism —
+  which is what makes top-k results rank-identical between the N and 4N
+  runs of the scaling protocol.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+NATURAL_KEY = ["repo", "path", "commit"]
+
+
+def load_documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's documents.parquet (doc_id, text, lang, source,
+    n_chars) onto the canonical corpus schema. Deterministic: commit is a
+    content hash prefix, path zero-pads the original id so lexicographic
+    order == numeric order."""
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.lpad(F.col("doc_id").cast("string"), 12, "0")).alias(
+            "path"
+        ),
+        F.substring(F.sha2(F.col("text").cast("binary"), 256), 1, 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def filter_malformed(corpus: DataFrame) -> DataFrame:
+    """Drop null/empty-content rows — the reference skips blank lines and
+    lines without a tab (PartialIndexBuilder.java:51-53)."""
+    return corpus.filter(
+        F.col("content").isNotNull() & (F.length(F.col("content")) > 0)
+    )
+
+
+def with_sha256(corpus: DataFrame) -> DataFrame:
+    """Per-row invariant vs the source table (north_rule): sha256 of the
+    raw content, carried through the build and checked by pytest."""
+    return corpus.withColumn("sha256", F.sha2(F.col("content").cast("binary"), 256))
+
+
+def assign_doc_ids(
+    corpus: DataFrame,
+    two_phase: bool = True,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Dense deterministic doc_id (1-based, like the reference's counter
+    which starts at 1 — PartialIndexBuilder.java:31) ordered by the natural
+    key. See module docstring for the two implementations."""
+    key = [F.col(c) for c in NATURAL_KEY]
+
+    if not two_phase:
+        w = Window.orderBy(*key)
+        return corpus.withColumn("doc_id", F.row_number().over(w).cast("long"))
+
+    spark = corpus.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    parted = corpus.repartitionByRange(n, *key).sortWithinPartitions(*key)
+    with_pid = parted.withColumn("_pid", F.spark_partition_id())
+    # tiny collect: one row per partition
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+        ),
+        F.col("_pid"),
+    )
+    w = Window.partitionBy("_pid").orderBy(*key)
+    return (
+        with_pid.withColumn(
+            "doc_id", (F.row_number().over(w) + offset_expr).cast("long")
+        )
+        .drop("_pid")
+    )
