@@ -110,12 +110,11 @@ def truncate_terms(tokens: Column, config: Optional[EngineConfig] = None) -> Col
     return F.transform(tokens, lambda t: F.substring(t, 1, config.term_dim))
 
 
-def tokenize_query_py(text: str, config: Optional[EngineConfig] = None) -> list[str]:
-    """Driver-side pure-Python mirror of the pipeline for query strings —
-    avoids a Spark job for single-query tokenization (Query.java:88-89:
-    preprocess then distinct). Must agree with :func:`tokenize` exactly;
-    pinned by tests/test_text.py.
-    """
+def tokenize_doc_py(text: str, config: Optional[EngineConfig] = None) -> list[str]:
+    """Pure-Python mirror of :func:`tokenize` (T1-T9, duplicates kept, no
+    truncation) — used by the driver-side query path and by the pytest
+    brute-force oracle. Must agree with the Spark pipeline exactly; pinned
+    by tests/test_text.py."""
     import re
 
     config = config or EngineConfig()
@@ -130,8 +129,15 @@ def tokenize_query_py(text: str, config: Optional[EngineConfig] = None) -> list[
         tokens = [t for t in tokens if t not in STOPWORDS]
     if config.apply_stemming():
         tokens = [stem(t) for t in tokens]
-    # T12: distinct query terms, first-occurrence order (Query.java:89)
+    return tokens
+
+
+def tokenize_query_py(text: str, config: Optional[EngineConfig] = None) -> list[str]:
+    """Query-string pipeline: T1-T9 + T10 truncation + T12 distinct terms
+    in first-occurrence order (Query.java:88-89). Driver-side — no Spark
+    job for single-query tokenization."""
+    config = config or EngineConfig()
     seen: dict[str, None] = {}
-    for t in tokens:
+    for t in tokenize_doc_py(text, config):
         seen.setdefault(t[: config.term_dim], None)
     return list(seen)

@@ -56,6 +56,8 @@ import os
 import time
 from typing import Optional
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -127,9 +129,13 @@ class IndexBuilder:
         )
         rows = sum(r["rows"] for r in per_file)
         dt = time.time() - t0
+        prefix = "file:" + path
         entry = {
             "rows": rows,
-            "files": {os.path.basename(r["file"]): r["rows"] for r in per_file},
+            "files": {
+                r["file"].replace(prefix, "").lstrip("/"): r["rows"]
+                for r in per_file
+            },
             "duration_sec": round(dt, 3),
             "rows_per_sec": round(rows / dt, 1) if dt > 0 else None,
         }
@@ -147,55 +153,60 @@ class IndexBuilder:
         manifest = self._load_manifest() if resume else {"stages": {}}
         cfg.save(self.index_dir)
 
-        # --- stage 1: doctable (+ tokenized doc lengths) ---
-        if not self._stage_done(manifest, "doctable"):
-            t0 = time.time()
-            base = with_sha256(filter_malformed(corpus))
-            base = assign_doc_ids(base)
-            tokens = tokenize(F.col("content"), cfg)
-            doc = base.withColumn("tokens", tokens).withColumn(
-                "doc_len", F.size("tokens")
-            )
-            # empty-after-preprocessing docs are still doctable rows in the
-            # reference (stored before tokens are inspected,
-            # PartialIndexBuilder.java:63-64) — keep them, doc_len = 0
-            (
-                doc.select(
-                    "doc_id",
-                    F.concat_ws("/", "repo", "path").alias("docno"),
-                    "repo",
-                    "path",
-                    "commit",
-                    "lang",
-                    "doc_len",
-                    "sha256",
+        # --- stages 1+2: doctable and tf table ---
+        # Tokenization (the expensive pandas-UDF pass) runs ONCE; doctable
+        # and tf are both derived from the cached tokenized frame.
+        # The (term, doc_id) count is the SPIMI in-memory tf accumulation
+        # (PartialIndexBuilder.java:119-138) as one partial+final hash agg;
+        # the shuffle spill replaces the reference's 0.8-heap SPIMI spill.
+        need_doct = not self._stage_done(manifest, "doctable")
+        need_tf = not self._stage_done(manifest, "tf")
+        if need_doct or need_tf:
+            base = assign_doc_ids(with_sha256(filter_malformed(corpus)))
+            tokenized = base.withColumn(
+                "tokens", truncate_terms(tokenize(F.col("content"), cfg), cfg)
+            ).withColumn("doc_len", F.size("tokens"))
+            if need_doct and need_tf:
+                tokenized = tokenized.persist()
+
+            if need_doct:
+                t0 = time.time()
+                # empty-after-preprocessing docs are still doctable rows in
+                # the reference (stored before tokens are inspected,
+                # PartialIndexBuilder.java:63-64) — kept, doc_len = 0
+                (
+                    tokenized.select(
+                        "doc_id",
+                        F.concat_ws("/", "repo", "path").alias("docno"),
+                        "repo",
+                        "path",
+                        "commit",
+                        "lang",
+                        "doc_len",
+                        "sha256",
+                    )
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(self.index_dir, "doctable"))
                 )
-                .repartition(cfg.shuffle_partitions, "doc_id")
-                .write.mode("overwrite")
-                .parquet(os.path.join(self.index_dir, "doctable"))
-            )
-            self._finish_stage(manifest, "doctable", t0)
+                self._finish_stage(manifest, "doctable", t0)
+
+            if need_tf:
+                t0 = time.time()
+                tf = (
+                    tokenized.select(
+                        "doc_id", "doc_len", F.explode("tokens").alias("term")
+                    )
+                    .groupBy("term", "doc_id", "doc_len")
+                    .agg(F.count("*").alias("tf"))
+                    .select(
+                        "term", "doc_id", F.col("tf").cast("int").alias("tf"), "doc_len"
+                    )
+                )
+                tf.write.mode("overwrite").parquet(os.path.join(self.index_dir, "tf"))
+                self._finish_stage(manifest, "tf", t0)
+            tokenized.unpersist()
 
         doctable = self.spark.read.parquet(os.path.join(self.index_dir, "doctable"))
-
-        # --- stage 2: tf table (term, doc_id, tf, doc_len) ---
-        # The (term, doc_id) count is the SPIMI in-memory tf accumulation
-        # (PartialIndexBuilder.java:119-138) as one partial+final hash agg.
-        if not self._stage_done(manifest, "tf"):
-            t0 = time.time()
-            base = with_sha256(filter_malformed(corpus))
-            base = assign_doc_ids(base)
-            toks = base.select(
-                "doc_id", truncate_terms(tokenize(F.col("content"), cfg), cfg).alias("tokens")
-            ).withColumn("doc_len", F.size("tokens"))
-            tf = (
-                toks.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
-                .groupBy("term", "doc_id", "doc_len")
-                .agg(F.count("*").alias("tf"))
-                .select("term", "doc_id", F.col("tf").cast("int").alias("tf"), "doc_len")
-            )
-            tf.write.mode("overwrite").parquet(os.path.join(self.index_dir, "tf"))
-            self._finish_stage(manifest, "tf", t0)
 
         tf = self.spark.read.parquet(os.path.join(self.index_dir, "tf"))
 
@@ -358,7 +369,6 @@ def _compress_blocks(blocks: DataFrame) -> DataFrame:
     doc_lens are dropped — the compressed query path re-joins the doctable
     (reference behavior: doc length looked up at score time, Score.java:26).
     """
-    import pandas as pd
 
     @F.pandas_udf(T.BinaryType())
     def vb(col: pd.Series) -> pd.Series:

@@ -123,6 +123,23 @@ class SearchEngine:
         )
 
     @staticmethod
+    def _sum_scores(scored: DataFrame) -> DataFrame:
+        """Per-doc score sum, ORDER-DETERMINISTIC: addends are summed in
+        term order regardless of partitioning, so the same index gives
+        bit-identical scores at any parallelism (the scaling protocol's
+        rank-identity criterion). A float groupBy-sum would add in shuffle
+        arrival order — ulp-nondeterministic. Query term counts are tiny,
+        so the collect_list is a few elements per doc."""
+        return scored.groupBy("doc_id").agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "score"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["score"],
+            ).alias("score"),
+            F.count("*").alias("n_terms"),
+        )
+
+    @staticmethod
     def _topk(per_doc: DataFrame, k: int) -> DataFrame:
         topk = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -168,19 +185,15 @@ class SearchEngine:
     # ---------- algorithms ----------
 
     def _daat(self, terms, stats, scorer: str, k: int) -> DataFrame:
-        per_doc = (
-            self._scored(terms, stats, scorer)
-            .groupBy("doc_id")
-            .agg(F.sum("score").alias("score"))
+        per_doc = self._sum_scores(self._scored(terms, stats, scorer)).drop(
+            "n_terms"
         )
         return self._topk(per_doc, k)
 
     def _conjunctive(self, terms, stats, scorer: str, k: int) -> DataFrame:
         n = len(terms)
         per_doc = (
-            self._scored(terms, stats, scorer)
-            .groupBy("doc_id")
-            .agg(F.sum("score").alias("score"), F.count("*").alias("n_terms"))
+            self._sum_scores(self._scored(terms, stats, scorer))
             .filter(F.col("n_terms") == n)
             .drop("n_terms")
         )
@@ -218,7 +231,7 @@ class SearchEngine:
                 .distinct()
             )
             scored = scored.join(candidates, "doc_id", "left_semi")
-        per_doc = scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        per_doc = self._sum_scores(scored).drop("n_terms")
         # theta is a LOWER bound on the kth final score: safe pre-filter
         per_doc = per_doc.filter(F.col("score") >= F.lit(theta))
         return self._topk(per_doc, k)

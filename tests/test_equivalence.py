@@ -1,0 +1,83 @@
+"""Equivalence suites — the reference's DAAT-vs-MaxScore intent
+(TestPerformance comparisons), extended: DAAT == MaxScore, uncompressed ==
+compressed index, count-mode == range-mode blocks, results invariant to
+parallelism."""
+
+import pytest
+
+from searchengine_spark.config import EngineConfig
+from searchengine_spark.index.builder import build_index
+from searchengine_spark.query.engine import SearchEngine
+
+from .conftest import TEST_CONFIG
+
+QUERIES = [
+    "spark table join fast",
+    "window agg",
+    "value",
+    "customer order line big",
+    "slow query scan filter sort merge",
+]
+
+
+def _results(engine, q, **kw):
+    return [(r["doc_id"], r["score"]) for r in engine.search(q, k=10, **kw).collect()]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, index_dir):
+    return SearchEngine(spark, index_dir)
+
+
+@pytest.mark.parametrize("scorer", ["bm25", "tfidf"])
+def test_daat_equals_maxscore(engine, scorer):
+    for q in QUERIES:
+        daat = _results(engine, q, scorer=scorer, algo="daat")
+        ms = _results(engine, q, scorer=scorer, algo="maxscore")
+        assert daat == ms, (q, scorer)
+
+
+@pytest.fixture(scope="module")
+def compressed_dir(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idxc") / "idx")
+    cfg = EngineConfig(stopstem=True, skip_threshold=64, compression=True,
+                       shuffle_partitions=8)
+    build_index(spark, corpus, d, cfg)
+    return d
+
+
+def test_compressed_index_same_results(spark, engine, compressed_dir):
+    ce = SearchEngine(spark, compressed_dir)
+    for q in QUERIES:
+        assert _results(engine, q) == _results(ce, q), q
+
+
+@pytest.fixture(scope="module")
+def count_mode_dir(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idxb") / "idx")
+    cfg = EngineConfig(stopstem=True, skip_threshold=64, block_mode="count",
+                       shuffle_partitions=8)
+    build_index(spark, corpus, d, cfg)
+    return d
+
+
+def test_block_modes_same_results(spark, engine, count_mode_dir):
+    be = SearchEngine(spark, count_mode_dir)
+    for q in QUERIES:
+        assert _results(engine, q) == _results(be, q), q
+
+
+@pytest.fixture(scope="module")
+def lowpar_dir(spark, corpus, tmp_path_factory):
+    """Same build at 1/4 the shuffle parallelism — the N-vs-4N
+    rank-identity leg of the scaling protocol (BASELINE.md §3)."""
+    d = str(tmp_path_factory.mktemp("idxn") / "idx")
+    cfg = EngineConfig(stopstem=True, skip_threshold=64, shuffle_partitions=2)
+    build_index(spark, corpus, d, cfg)
+    return d
+
+
+def test_parallelism_invariant_results(spark, engine, lowpar_dir):
+    le = SearchEngine(spark, lowpar_dir)
+    for q in QUERIES:
+        assert _results(engine, q) == _results(le, q), q

@@ -1,0 +1,80 @@
+"""Query engine vs brute-force oracle: exact score parity, tie-breaks,
+conjunctive semantics, unknown/empty-term handling."""
+
+import pytest
+
+from searchengine_spark.query.engine import SearchEngine
+
+from .conftest import TEST_CONFIG
+from .oracle import BruteForceOracle
+
+QUERIES = [
+    "spark table join fast",
+    "window agg",
+    "customer order line",
+    "the big slow query",          # stopword + content mix
+    "value",                       # single hot term
+    "spark spark spark",           # duplicate terms -> distinct
+    "nonexistentterm spark",       # unknown term silently dropped (J5)
+    "zzz qqq www",                 # all unknown -> empty result
+    "the and of",                  # pure stopwords -> empty result
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, index_dir):
+    return SearchEngine(spark, index_dir)
+
+
+@pytest.fixture(scope="module")
+def oracle(spark, index_dir, corpus):
+    import os
+
+    doct = spark.read.parquet(os.path.join(index_dir, "doctable")).toPandas()
+    corp = corpus.toPandas()
+    docs = corp.merge(doct[["path", "doc_id"]], on="path")[["doc_id", "content"]]
+    return BruteForceOracle(docs, TEST_CONFIG)
+
+
+@pytest.mark.parametrize("scorer", ["bm25", "tfidf"])
+@pytest.mark.parametrize("mode", ["disjunctive", "conjunctive"])
+def test_topk_matches_oracle(engine, oracle, scorer, mode):
+    for q in QUERIES:
+        got = [
+            (r["doc_id"], r["score"])
+            for r in engine.search(q, k=10, mode=mode, scorer=scorer).collect()
+        ]
+        want = oracle.search(q, k=10, mode=mode, scorer=scorer)
+        assert [d for d, _ in got] == [d for d, _ in want], (q, scorer, mode)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-12), (q, scorer, mode)
+
+
+def test_k_values(engine, oracle):
+    for k in (10, 20, 100):
+        got = engine.search("table value row", k=k).collect()
+        want = oracle.search("table value row", k=k)
+        assert len(got) == min(k, len(want))
+        assert [r["doc_id"] for r in got] == [d for d, _ in want]
+
+
+def test_rank_column(engine):
+    rows = engine.search("spark table", k=10).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_with_docno(engine):
+    rows = engine.search("spark table", k=5, with_docno=True).collect()
+    assert all(r["docno"] and "/" in r["docno"] for r in rows)
+
+
+def test_batch_search(engine, oracle):
+    qs = [("q1", "spark table"), ("q2", "window agg")]
+    out = engine.batch_search(qs, k=5)
+    pdf = out.toPandas()
+    assert set(pdf["query_id"]) == {"q1", "q2"}
+    for qid, text in qs:
+        got = pdf[pdf.query_id == qid].sort_values("rank")["doc_id"].tolist()
+        assert got == [d for d, _ in oracle.search(text, k=5)]
