@@ -1,0 +1,193 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators take the canonical corpus frame (repo, path, commit, lang,
+content) with an assigned ``doc_id`` and work purely with built-in Column
+expressions (JVM-side, codegen) — no Python in the hot path. The MinHash
+permutation hashes are md5-prefix based so an independent SQL engine
+(DuckDB oracle) can reproduce them bit-for-bit.
+
+Scale notes (1e12-row corpora):
+* exact dedup is a single hash groupBy on the content digest — partial
+  aggregation makes the hot reducer see O(#tasks) rows per digest;
+* MinHash/LSH: cost is (#shingles x #permutations) narrow rows, then
+  min-aggregates — all shuffle-parallel; candidate verification joins are
+  equi-joins on (band_id, band_hash), broadcastable per bucket;
+* n-gram Jaccard's self-join explodes on shared shingles — use it to
+  VERIFY LSH candidates at scale (tiny pair set), or standalone only on
+  bounded inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicate_groups(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """Exact dedup via sha256 digest: one row per duplicated content value:
+    (content_sha, n_dups, keep_doc_id = lowest doc_id of the group)."""
+    return (
+        docs.select(
+            F.sha2(F.col(content_col).cast("binary"), 256).alias("content_sha"),
+            "doc_id",
+        )
+        .groupBy("content_sha")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def token_shingles(tokens_col, n: int = 3):
+    """Sliding n-gram shingles over a token array column, space-joined.
+    Arrays shorter than n yield a single shingle of the whole array
+    (so short docs still participate)."""
+    size = F.size(tokens_col)
+    upper = F.greatest(size - n, F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(0), upper),
+        lambda i: F.concat_ws(" ", F.slice(tokens_col, i + 1, n)),
+    )
+
+
+def _md5_hash32(col, seed_prefix):
+    """Deterministic 32-bit hash reproducible in any SQL engine:
+    first 8 hex chars of md5(seed || ':' || value), as a BIGINT."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", seed_prefix, col)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_perm: int = 16
+) -> DataFrame:
+    """(doc_id, shingles:array<string>) -> (doc_id, perm, minhash).
+
+    One narrow row per (doc, permutation); min-aggregated per key. The
+    explode keeps rows small and the agg partial — no giant signature
+    arrays shuffle around until the final collect per doc."""
+    return (
+        shingled.select(
+            "doc_id", F.explode(F.array_distinct("shingles")).alias("sh")
+        )
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm"),
+            F.col("sh"),
+        )
+        .select(
+            "doc_id",
+            "perm",
+            _md5_hash32(F.col("sh"), F.col("perm").cast("string")).alias("h"),
+        )
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_perm: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signatures (rows_per_band = num_perm/bands) and emit
+    candidate near-duplicate pairs (doc_a < doc_b) that collide in at
+    least one band. Classic MinHash-LSH banding."""
+    r = num_perm // bands
+    banded = (
+        signatures.withColumn("band", (F.col("perm") / r).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("perm", "minhash"))
+                        ),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                )
+            ).alias("band_hash")
+        )
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingled: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle:
+    (doc_a, doc_b, jaccard). Inverted-index style self-join on shingles —
+    never a full cross join. At huge scale, run it on LSH candidates."""
+    sh = shingled.select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(shingled: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc from two 32-bit md5-prefix hashes per
+    shingle: sign-sum each bit position, bit=1 where the sum is positive.
+    (doc_id, simhash). Near-dups then cluster by Hamming distance —
+    compare via xor+bit_count on the output."""
+    sh = shingled.select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("sh")
+    )
+    lo = _md5_hash32(F.col("sh"), F.lit("lo"))
+    hi = _md5_hash32(F.col("sh"), F.lit("hi"))
+    # hi<<32 | lo via bitwise ops (wraps into the sign bit, no overflow)
+    h64 = F.expr("shiftleft(hi, 32) | lo")
+    bits = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        hi.alias("hi"),
+        lo.alias("lo"),
+    ).select(
+        "doc_id",
+        "bit",
+        h64.alias("h"),
+    ).select(
+        "doc_id",
+        "bit",
+        F.expr("CAST((shiftright(h, bit) & 1) * 2 - 1 AS INT)").alias("sign"),
+    )
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("sign").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )

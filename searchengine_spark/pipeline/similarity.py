@@ -1,0 +1,99 @@
+"""Embedding similarity search over an array<float> column.
+
+* brute-force cosine top-k — the exact baseline: JVM-side zip_with dot
+  products, TakeOrderedAndProject top-k. O(N) per query but fully
+  shuffle-free (map + top-k), so it scales linearly with executors.
+* LSH-bucketed variant (random hyperplane signatures) — the scale path:
+  probe only the buckets whose signature is within ``max_hamming`` of the
+  query signature, i.e. a tunable recall/cost dial. Hyperplanes are
+  deterministic (seeded), so signatures are reproducible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (vec_id, cosine), ties by vec_id."""
+    q = F.lit([float(x) for x in query_vec])
+    v = F.col(vec_col)
+    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    return (
+        vectors.select(F.col(id_col).alias("vec_id"), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def rp_signature_expr(vec_col, planes: np.ndarray):
+    """Random-hyperplane LSH signature as a BIGINT bit field: bit i set
+    when dot(vec, plane_i) > 0."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = _dot(vec_col, F.lit([float(x) for x in p]))
+        sig = sig + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_cosine_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 16,
+    max_hamming: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: filter to vectors whose hyperplane
+    signature is within ``max_hamming`` bits of the query's, then exact
+    cosine on the survivors. At cluster scale the signature is a stored,
+    bucketed column — the filter becomes partition pruning."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    qsig = int(
+        sum(1 << i for i, p in enumerate(planes) if float(np.dot(p, query_vec)) > 0)
+    )
+    v = F.col(vec_col)
+    sig = rp_signature_expr(v, planes)
+    hamming = F.bit_count(sig.bitwiseXOR(F.lit(qsig)))
+    q = F.lit([float(x) for x in query_vec])
+    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    return (
+        vectors.withColumn("_sig", sig)
+        .filter(hamming <= max_hamming)
+        .select(F.col(id_col).alias("vec_id"), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
