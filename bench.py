@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline operators at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:  {"metric": ..., "value": total_sec, "unit": "sec",
+        "queries": {name: sec, ...}, "sf": ...}
+
+Per-query timings are end-to-end action times (plan + execute + fetch),
+cold plans on a warm index. The index build itself is timed separately as
+`index_build` (the BASELINE.md metric is build files/sec + query p50).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"searchengine-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.config import EngineConfig
+    from searchengine_spark.index.builder import build_index
+    from searchengine_spark.pipeline import dedup as DD
+    from searchengine_spark.pipeline import similarity as SIM
+    from searchengine_spark.pipeline import textstats as TS
+    from searchengine_spark.query.engine import SearchEngine
+    from searchengine_spark.sources.corpus import (
+        assign_doc_ids,
+        filter_malformed,
+        load_documents_as_corpus,
+        with_sha256,
+    )
+
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Spin up the Python worker pool before the clock starts (one task per
+    # core) — analogous to cluster/executor startup, which the reference's
+    # build timings also exclude.
+    spark.range(0, CPUS * 10000, 1, CPUS).select(
+        F.pandas_udf(lambda s: s, "long")(F.col("id")).alias("x")
+    ).agg(F.sum("x")).collect()
+
+    sf_label = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf_label)
+    except ValueError:
+        sf = sf_label
+
+    idx_dir = f"/tmp/se_bench_index_{os.path.basename(SF_DIR.rstrip('/'))}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    cfg = EngineConfig(stopstem=True, skip_threshold=64, shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+    t_all = time.time()
+
+    # --- index build (full pipeline: tokenize+stem, lexicon, blocks) ---
+    corpus = load_documents_as_corpus(spark, SF_DIR)
+    n_docs = corpus.count()
+    t0 = time.time()
+    build_index(spark, corpus, idx_dir, cfg, resume=False)
+    build_sec = time.time() - t0
+    timings["index_build"] = round(build_sec, 3)
+
+    engine = SearchEngine(spark, idx_dir)
+
+    # --- query latency: BM25 k=10 over a query set; p50 reported ---
+    queries = [
+        "spark table join fast",
+        "window agg customer stream",
+        "index merge batch",
+        "fast sort shuffle partition",
+        "stream state checkpoint",
+        "row column vector batch",
+        "query plan optimizer cost",
+        "hash join broadcast skew",
+    ]
+    lat = []
+    for q in queries:
+        t0 = time.time()
+        engine.search(q, k=10).collect()
+        lat.append(time.time() - t0)
+    timings["query_bm25_p50"] = round(statistics.median(lat), 3)
+    timings["query_bm25_mean"] = round(sum(lat) / len(lat), 3)
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    timed("query_conjunctive",
+          lambda: engine.search("table value row", k=10, mode="conjunctive").collect())
+    timed("query_maxscore",
+          lambda: engine.search("fast merge batch sort", k=10, algo="maxscore").collect())
+    timed("query_tfidf",
+          lambda: engine.search("window agg customer stream", k=10, scorer="tfidf").collect())
+
+    base = assign_doc_ids(with_sha256(filter_malformed(corpus))).persist()
+    base.count()
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("content")), r"\s+", " ")), " ")
+    shingled = base.select(
+        "doc_id", DD.token_shingles(toks, 3).alias("shingles")
+    ).filter(F.size(toks) > 0)
+
+    timed("dedup_exact", lambda: DD.exact_duplicate_groups(base).count())
+    timed("dedup_minhash_lsh",
+          lambda: DD.lsh_candidate_pairs(
+              DD.minhash_signatures(shingled, num_perm=16), num_perm=16, bands=4
+          ).count())
+    timed("dedup_simhash", lambda: DD.simhash64(shingled).count())
+    timed("textstats",
+          lambda: TS.with_quality_score(TS.with_token_stats(base)).count())
+
+    emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+    if os.path.exists(emb_path):
+        emb = spark.read.parquet(emb_path)
+        qv = emb.limit(1).collect()[0]["embedding"]
+        timed("similarity_cosine_topk",
+              lambda: SIM.cosine_topk(emb, qv, k=10).collect())
+
+    total = time.time() - t_all
+    print(json.dumps({
+        "metric": "index-build docs/sec + BM25 top-10 p50 latency (sec)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "build_docs_per_sec": round(n_docs / build_sec, 1),
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

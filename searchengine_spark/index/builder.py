@@ -119,23 +119,28 @@ class IndexBuilder:
     ) -> None:
         """Record per-partition lineage for a written stage: row count per
         output file (the written partition), total rows, wall time and
-        docs/sec — north_rule's 'per-partition lineage and docs/sec'."""
+        docs/sec — north_rule's 'per-partition lineage and docs/sec'.
+
+        Row counts come from the parquet FOOTERS (driver-side pyarrow
+        metadata read) — never a data re-scan. At 1e12-row scale a
+        verification re-read of every written stage would double the
+        build's IO; footers are O(#files) tiny reads."""
+        import pyarrow.parquet as pq
+
         path = os.path.join(self.index_dir, stage)
-        per_file = (
-            self.spark.read.parquet(path)
-            .groupBy(F.input_file_name().alias("file"))
-            .agg(F.count("*").alias("rows"))
-            .collect()
-        )
-        rows = sum(r["rows"] for r in per_file)
+        per_file = {}
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    full = os.path.join(root, fn)
+                    per_file[os.path.relpath(full, path)] = pq.read_metadata(
+                        full
+                    ).num_rows
+        rows = sum(per_file.values())
         dt = time.time() - t0
-        prefix = "file:" + path
         entry = {
             "rows": rows,
-            "files": {
-                r["file"].replace(prefix, "").lstrip("/"): r["rows"]
-                for r in per_file
-            },
+            "files": per_file,
             "duration_sec": round(dt, 3),
             "rows_per_sec": round(rows / dt, 1) if dt > 0 else None,
         }

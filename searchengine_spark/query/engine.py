@@ -66,6 +66,7 @@ class SearchEngine:
         with open(os.path.join(self.index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         self.lexicon = spark.read.parquet(os.path.join(self.index_dir, "lexicon"))
+        self._lex_cache: dict[str, Optional[dict]] = {}
         self.postings = spark.read.parquet(os.path.join(self.index_dir, "postings"))
         self.doctable = spark.read.parquet(os.path.join(self.index_dir, "doctable"))
 
@@ -79,12 +80,44 @@ class SearchEngine:
         return F.col("term_bucket").isin(buckets) & F.col("term").isin(list(terms))
 
     def _term_stats(self, terms: Sequence[str]) -> dict[str, dict]:
-        """J5 dictionary probe: collect the (tiny) lexicon rows for the
-        query terms; absent terms drop out."""
-        if not terms:
-            return {}
-        rows = self.lexicon.filter(self._bucket_filter(terms)).collect()
-        return {r["term"]: r.asDict() for r in rows}
+        """J5 dictionary probe: read the (tiny) lexicon rows for the query
+        terms; absent terms drop out.
+
+        Driver-side pyarrow read, not a Spark job: the reference answers
+        this probe from its RAM-resident dictionary (Query.java:62-72); our
+        analogue is a footer-pruned read of only the term_bucket hive
+        partitions the query terms hash into, with the term predicate
+        pushed into the parquet scan. Probed rows are memoized per engine
+        instance — repeated query terms never touch disk again."""
+        out: dict[str, dict] = {}
+        missing = []
+        for t in terms:
+            if t in self._lex_cache:
+                if self._lex_cache[t] is not None:
+                    out[t] = self._lex_cache[t]
+            else:
+                missing.append(t)
+        if missing:
+            import pyarrow.dataset as ds
+
+            dataset = ds.dataset(
+                os.path.join(self.index_dir, "lexicon"),
+                format="parquet",
+                partitioning="hive",
+            )
+            buckets = sorted(
+                {term_bucket_py(t, self.config.n_term_buckets) for t in missing}
+            )
+            tbl = dataset.to_table(
+                filter=ds.field("term_bucket").isin(buckets)
+                & ds.field("term").isin(missing)
+            )
+            found = {r["term"]: r for r in tbl.to_pylist()}
+            for t in missing:
+                self._lex_cache[t] = found.get(t)
+                if t in found:
+                    out[t] = found[t]
+        return out
 
     def _exploded_postings(self, terms: Sequence[str]) -> DataFrame:
         """(term, doc_id, tf, doc_len) rows for the query terms only —
@@ -164,11 +197,10 @@ class SearchEngine:
         terms = self.tokenize_query(query)
         stats = self._term_stats(terms)
         terms = [t for t in terms if t in stats]  # drop unknown terms (J5)
-        empty = self.spark.createDataFrame(
-            [], "rank int, doc_id long, score double"
-        )
         if not terms:
-            result = empty
+            result = self.spark.createDataFrame(
+                [], "rank int, doc_id long, score double"
+            )
         elif mode == "conjunctive":
             result = self._conjunctive(terms, stats, scorer, k)
         elif algo == "maxscore":

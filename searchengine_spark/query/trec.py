@@ -1,0 +1,81 @@
+"""TREC run sink + batch evaluation — the reference's TestPerformance
+modes (test/TestPerformance.java:58-147) as batch DataFrame jobs.
+
+S10 run-file sink: lines ``qid Q0 docno rank score run_id``
+(TestPerformance.java:131-140 formats exactly these six columns).
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import time
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .engine import SearchEngine
+
+
+def trec_run_df(
+    engine: SearchEngine,
+    queries: Sequence[tuple[str, str]],
+    k: int = 100,
+    run_id: str = "RUN-01",
+    **search_kw,
+) -> DataFrame:
+    """(query_id, 'Q0', docno, rank, score, run_id) for the query set —
+    top-100 per query like the reference's effectiveness mode
+    (TestPerformance.java:111-141)."""
+    results = engine.batch_search(queries, k=k, **search_kw)
+    # broadcast the (k * |queries|)-row result; stream the doctable past it
+    return (
+        engine.doctable.select("doc_id", "docno")
+        .join(F.broadcast(results), "doc_id")
+        .select(
+            "query_id",
+            F.lit("Q0").alias("q0"),
+            "docno",
+            "rank",
+            "score",
+            F.lit(run_id).alias("run_id"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def write_trec_run(run_df: DataFrame, path: str) -> None:
+    """Write the run as whitespace-separated lines (trec_eval input).
+    Single text file — run files are k*|queries| rows, driver-sized."""
+    rows = run_df.collect()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(
+                f"{r['query_id']} Q0 {r['docno']} {r['rank']} "
+                f"{r['score']:.6f} {r['run_id']}\n"
+            )
+
+
+def efficiency_report(
+    engine: SearchEngine,
+    queries: Sequence[tuple[str, str]],
+    k: int = 10,
+    **search_kw,
+) -> dict:
+    """Per-query + aggregate wall-clock latency — the reference's
+    efficiency mode (TestPerformance.java:58-104)."""
+    per_query = {}
+    for qid, text in queries:
+        t0 = time.time()
+        engine.search(text, k=k, **search_kw).collect()
+        per_query[qid] = round(time.time() - t0, 4)
+    lat = list(per_query.values())
+    return {
+        "per_query_sec": per_query,
+        "mean_sec": round(sum(lat) / len(lat), 4),
+        "p50_sec": round(statistics.median(lat), 4),
+        "max_sec": round(max(lat), 4),
+        "k": k,
+    }
