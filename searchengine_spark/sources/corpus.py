@@ -82,31 +82,65 @@ def assign_doc_ids(
         w = Window.orderBy(*key)
         return corpus.withColumn("doc_id", F.row_number().over(w).cast("long"))
 
+    # Two-phase with FROZEN range boundaries. repartitionByRange is NOT
+    # usable here: its boundaries come from reservoir sampling re-executed
+    # per action, so the counts job and the assignment job can see
+    # different partitionings — and different parallelism levels certainly
+    # do — silently corrupting the offsets (observed as rank-identity
+    # failures between local[8] and local[32]). Instead:
+    #   1. take a DETERMINISTIC sample of the sort key (hash-mod filter,
+    #      no RNG), collect it, derive n-1 boundary keys on the driver;
+    #   2. range_id = #boundaries <= key — a pure function of the key, so
+    #      every job agrees on the partitioning forever;
+    #   3. count rows per range (tiny collect), prefix-sum offsets,
+    #      doc_id = within-range row_number + offset[range].
+    # Scale: the sample collect is ~(rows / 512) keys capped by taking
+    # every k-th after sorting; the per-row cost is one O(n_ranges)
+    # vectorized array filter (n_ranges = shuffle partitions).
     spark = corpus.sparkSession
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    parted = corpus.repartitionByRange(n, *key).sortWithinPartitions(*key)
-    with_pid = parted.withColumn("_pid", F.spark_partition_id())
-    # tiny collect: one row per partition
+    skey = F.concat_ws("\x00", *key)
+    sampled = sorted(
+        r["k"]
+        for r in corpus.select(skey.alias("k"))
+        .filter(F.pmod(F.xxhash64(skey), F.lit(64)) == 0)
+        .collect()
+    )
+    if len(sampled) >= 2 * n:
+        step = len(sampled) / n
+        boundaries = [sampled[int(i * step)] for i in range(1, n)]
+    else:
+        boundaries = []
+
+    if boundaries:
+        b_arr = F.array(*[F.lit(b) for b in boundaries])
+        rid = F.size(F.filter(b_arr, lambda b: b <= skey))
+    else:
+        rid = F.lit(0)
+    with_rid = corpus.withColumn("_rid", rid)
     counts = {
-        r["_pid"]: r["cnt"]
-        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        r["_rid"]: r["cnt"]
+        for r in with_rid.groupBy("_rid").agg(F.count("*").alias("cnt")).collect()
     }
     offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    offset_expr = F.element_at(
-        F.create_map(
-            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
-        ),
-        F.col("_pid"),
-    )
-    w = Window.partitionBy("_pid").orderBy(*key)
-    return (
-        with_pid.withColumn(
-            "doc_id", (F.row_number().over(w) + offset_expr).cast("long")
+    for r in sorted(counts):
+        offsets[r] = acc
+        acc += counts[r]
+    if offsets:
+        offset_expr = F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[F.lit(x) for r in sorted(offsets) for x in (r, offsets[r])]
+                ),
+                F.col("_rid"),
+            ),
+            F.lit(0),
         )
-        .drop("_pid")
-    )
+    else:  # empty corpus
+        offset_expr = F.lit(0)
+    w = Window.partitionBy("_rid").orderBy(*key)
+    return with_rid.withColumn(
+        "doc_id", (F.row_number().over(w) + offset_expr).cast("long")
+    ).drop("_rid")
