@@ -84,6 +84,36 @@ def _make_stopstem_udf(drop_stopwords: bool):
     return _stopstem
 
 
+def tokenize_raw(col: Column, config: Optional[EngineConfig] = None) -> Column:
+    """T1-T8 as pure native Column expressions (JVM, whole-stage codegen):
+    cleaned, split, stopword-filtered tokens — NOT stemmed.
+
+    This is the scalable half of the pipeline: stemming (T9) is the only
+    step needing Python, and the index builder applies it dictionary-style
+    — stem only the DISTINCT vocabulary with the pandas UDF, then map
+    token -> stem with a (broadcastable) join — so no Arrow string traffic
+    scales with token count, only with vocabulary size."""
+    config = config or EngineConfig()
+    cleaned = clean_text(col)
+    tokens = F.when(cleaned == "", F.array().cast("array<string>")).otherwise(
+        F.split(cleaned, " ")
+    )
+    if config.apply_stopwords():
+        tokens = _stopword_filter(tokens)
+    return tokens
+
+
+def stem_udf():
+    """Arrow-batched pandas UDF stemming one term per row — intended for
+    DISTINCT-vocabulary frames, never full token streams."""
+
+    @F.pandas_udf(T.StringType())
+    def _stem(terms: pd.Series) -> pd.Series:
+        return terms.map(lambda t: None if t is None else stem(t))
+
+    return _stem
+
+
 def tokenize(col: Column, config: Optional[EngineConfig] = None) -> Column:
     """Full T1-T9 pipeline: raw text column -> array<string> of terms.
 

@@ -65,10 +65,34 @@ from pyspark.sql import types as T
 from ..config import EngineConfig
 from ..functions import codecs
 from ..functions.scoring import bm25_partial_expr, idf_expr, tfidf_partial_expr
-from ..functions.text import tokenize, truncate_terms
+from ..functions.text import stem_udf, tokenize_raw
 from ..sources.corpus import assign_doc_ids, filter_malformed, with_sha256
 
 STAGES = ("doctable", "tf", "lexicon", "postings")
+
+
+def stem_terms(exploded: DataFrame, cfg: EngineConfig, raw_col: str = "raw") -> DataFrame:
+    """Dictionary-style T9+T10 over exploded token rows: stem the DISTINCT
+    vocabulary with the pandas UDF (|vocab| rows of Python, not |tokens|),
+    then map raw -> final term with a join that AQE broadcasts when the
+    vocabulary is small. Adds a ``term`` column, drops ``raw_col``.
+
+    Scale: at 1e12 files the vocabulary join degrades gracefully to a
+    shuffle join; the per-token path stays 100% JVM either way."""
+    if cfg.apply_stemming():
+        vocab = exploded.select(F.col(raw_col).alias("_raw_term")).distinct()
+        vmap = vocab.withColumn(
+            "term",
+            F.substring(stem_udf()(F.col("_raw_term")), 1, cfg.term_dim),
+        )
+        return (
+            exploded.withColumnRenamed(raw_col, "_raw_term")
+            .join(vmap, "_raw_term")
+            .drop("_raw_term")
+        )
+    return exploded.withColumn(
+        "term", F.substring(F.col(raw_col), 1, cfg.term_dim)
+    ).drop(raw_col)
 
 
 def term_bucket_expr(term, n_buckets: int):
@@ -167,10 +191,34 @@ class IndexBuilder:
         need_doct = not self._stage_done(manifest, "doctable")
         need_tf = not self._stage_done(manifest, "tf")
         if need_doct or need_tf:
-            base = assign_doc_ids(with_sha256(filter_malformed(corpus)))
-            tokenized = base.withColumn(
-                "tokens", truncate_terms(tokenize(F.col("content"), cfg), cfg)
-            ).withColumn("doc_len", F.size("tokens"))
+            # ONE pass over the raw input: tokenize before doc_id
+            # assignment and persist, so assign_doc_ids' two driver jobs
+            # (boundary sample, range counts) and both stage writes all
+            # read the cached frame instead of re-scanning + re-tokenizing
+            # the corpus (4 full input passes -> 1; at 1e12 rows the extra
+            # passes, not CPU, would dominate the build).
+            # Match scan parallelism to the cluster: a small input (one
+            # parquet file at test scale; at 100 TB, fewer splits than
+            # cores can still happen after partition pruning) would
+            # otherwise run the whole tokenize chain in ONE task.
+            src = filter_malformed(corpus)
+            if src.rdd.getNumPartitions() < cfg.shuffle_partitions:
+                src = src.repartition(cfg.shuffle_partitions)
+            # T1-T8 are native Column expressions (JVM, codegen). Stemming
+            # (T9) deliberately does NOT run here: per-token Python — even
+            # Arrow-batched — is the slow path; it's applied
+            # dictionary-style over the distinct vocabulary below, so
+            # Python cost scales with |vocab|, not |tokens|.
+            pretok = (
+                with_sha256(src)
+                .withColumn("tokens_raw", tokenize_raw(F.col("content"), cfg))
+                .persist()
+            )
+            # doc_len counts post-stopword tokens; stemming (1:1) and
+            # truncation don't change it (PartialIndexBuilder.java:63)
+            tokenized = assign_doc_ids(pretok).withColumn(
+                "doc_len", F.size("tokens_raw")
+            )
             if need_doct and need_tf:
                 tokenized = tokenized.persist()
 
@@ -197,11 +245,12 @@ class IndexBuilder:
 
             if need_tf:
                 t0 = time.time()
+                exploded = tokenized.select(
+                    "doc_id", "doc_len", F.explode("tokens_raw").alias("raw")
+                )
+                exploded = stem_terms(exploded, cfg, raw_col="raw")
                 tf = (
-                    tokenized.select(
-                        "doc_id", "doc_len", F.explode("tokens").alias("term")
-                    )
-                    .groupBy("term", "doc_id", "doc_len")
+                    exploded.groupBy("term", "doc_id", "doc_len")
                     .agg(F.count("*").alias("tf"))
                     .select(
                         "term", "doc_id", F.col("tf").cast("int").alias("tf"), "doc_len"
@@ -210,6 +259,7 @@ class IndexBuilder:
                 tf.write.mode("overwrite").parquet(os.path.join(self.index_dir, "tf"))
                 self._finish_stage(manifest, "tf", t0)
             tokenized.unpersist()
+            pretok.unpersist()
 
         doctable = self.spark.read.parquet(os.path.join(self.index_dir, "doctable"))
 

@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import EngineConfig
-from ..functions.text import tokenize, truncate_terms
+from ..functions.text import tokenize_raw
+from ..index.builder import stem_terms
 from ..sources.corpus import NATURAL_KEY, filter_malformed, with_sha256
 
 CORPUS_SCHEMA = T.StructType(
@@ -115,9 +116,7 @@ class StreamingIndexer:
             base.withColumn(
                 "doc_id", (F.row_number().over(w) + F.lit(base_id)).cast("long")
             )
-            .withColumn(
-                "tokens", truncate_terms(tokenize(F.col("content"), cfg), cfg)
-            )
+            .withColumn("tokens", tokenize_raw(F.col("content"), cfg))
             .withColumn("doc_len", F.size("tokens"))
             .persist()
         )
@@ -136,11 +135,15 @@ class StreamingIndexer:
         )
 
         seg_dir = os.path.join(self.index_dir, "segments", f"batch_id={batch_id}")
-        (
+        exploded = stem_terms(
             tokenized.select(
-                "doc_id", "doc_len", F.explode("tokens").alias("term")
-            )
-            .groupBy("term", "doc_id", "doc_len")
+                "doc_id", "doc_len", F.explode("tokens").alias("raw")
+            ),
+            cfg,
+            raw_col="raw",
+        )
+        (
+            exploded.groupBy("term", "doc_id", "doc_len")
             .agg(F.count("*").cast("int").alias("tf"))
             .select("term", "doc_id", "tf", "doc_len")
             .write.mode("overwrite")
