@@ -156,21 +156,28 @@ class SearchEngine:
         )
 
     @staticmethod
-    def _sum_scores(scored: DataFrame) -> DataFrame:
-        """Per-doc score sum, ORDER-DETERMINISTIC: addends are summed in
-        term order regardless of partitioning, so the same index gives
-        bit-identical scores at any parallelism (the scaling protocol's
-        rank-identity criterion). A float groupBy-sum would add in shuffle
-        arrival order — ulp-nondeterministic. Query term counts are tiny,
-        so the collect_list is a few elements per doc."""
-        return scored.groupBy("doc_id").agg(
-            F.aggregate(
-                F.sort_array(F.collect_list(F.struct("term", "score"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["score"],
-            ).alias("score"),
-            F.count("*").alias("n_terms"),
-        )
+    def _sum_scores(scored: DataFrame, terms: Sequence[str]) -> DataFrame:
+        """Per-doc score sum, ORDER-DETERMINISTIC: addends are folded in
+        sorted-term order regardless of partitioning, so the same index
+        gives bit-identical scores at any parallelism (the scaling
+        protocol's rank-identity criterion). A plain float groupBy-sum
+        would add in shuffle arrival order — ulp-nondeterministic.
+
+        Each (term, doc) pair occurs exactly once in ``scored`` (tf is
+        pre-aggregated; blocks partition disjoint doc ranges), so
+        ``sum(when(term==t, score))`` is that single double, and the
+        final expression adds the per-term values in a fixed order —
+        a pure hash aggregate, no per-doc collect_list/sort_array."""
+        ordered = sorted(set(terms))
+        aggs = [
+            F.sum(F.when(F.col("term") == t, F.col("score"))).alias(f"_s{i}")
+            for i, t in enumerate(ordered)
+        ] + [F.count("*").alias("n_terms")]
+        per = scored.groupBy("doc_id").agg(*aggs)
+        total = F.lit(0.0)
+        for i in range(len(ordered)):
+            total = total + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+        return per.select("doc_id", total.alias("score"), "n_terms")
 
     @staticmethod
     def _topk(per_doc: DataFrame, k: int) -> DataFrame:
@@ -217,7 +224,7 @@ class SearchEngine:
     # ---------- algorithms ----------
 
     def _daat(self, terms, stats, scorer: str, k: int) -> DataFrame:
-        per_doc = self._sum_scores(self._scored(terms, stats, scorer)).drop(
+        per_doc = self._sum_scores(self._scored(terms, stats, scorer), terms).drop(
             "n_terms"
         )
         return self._topk(per_doc, k)
@@ -225,7 +232,7 @@ class SearchEngine:
     def _conjunctive(self, terms, stats, scorer: str, k: int) -> DataFrame:
         n = len(terms)
         per_doc = (
-            self._sum_scores(self._scored(terms, stats, scorer))
+            self._sum_scores(self._scored(terms, stats, scorer), terms)
             .filter(F.col("n_terms") == n)
             .drop("n_terms")
         )
@@ -257,16 +264,51 @@ class SearchEngine:
 
         scored = self._scored(terms, stats, scorer)
         if len(essential) < len(terms):
-            candidates = (
-                scored.filter(F.col("term").isin(essential))
-                .select("doc_id")
-                .distinct()
+            candidates = self._candidates_block_max(
+                essential, stats, scorer, theta, total_ub=cum
             )
             scored = scored.join(candidates, "doc_id", "left_semi")
-        per_doc = self._sum_scores(scored).drop("n_terms")
+        per_doc = self._sum_scores(scored, terms).drop("n_terms")
         # theta is a LOWER bound on the kth final score: safe pre-filter
         per_doc = per_doc.filter(F.col("score") >= F.lit(theta))
         return self._topk(per_doc, k)
+
+    def _candidates_block_max(
+        self, essential, stats, scorer: str, theta: float, total_ub: float
+    ) -> DataFrame:
+        """Candidate doc_ids from the essential lists with BLOCK-MAX
+        pruning (the distributed form of nextGEQ skip-block seeking,
+        PostingList.java:77-113, and block-max upper-bound pruning, P5):
+
+        a block of essential term t can only yield a doc whose final score
+        reaches theta if  block_max_t + sum(ub of all OTHER terms) >= theta
+        — any doc confined to pruned blocks (and non-essential lists) is
+        bounded below theta, and theta lower-bounds the final k-th score,
+        so dropping it is exact. Docs surviving in ANY unpruned block stay
+        candidates and are scored exactly over all lists afterwards.
+
+        The filter runs JVM-side against the per-block max columns, so
+        parquet reads skip pruned blocks' array columns entirely."""
+        ub_key = "max_bm25" if scorer == "bm25" else "max_tfidf"
+        bm_col = "block_max_bm25" if scorer == "bm25" else "block_max_tfidf"
+        # per-term allowance: theta minus the others' upper bounds
+        thresh_map = F.create_map(
+            *[
+                F.lit(x)
+                for t in essential
+                for x in (t, theta - (total_ub - stats[t][ub_key]))
+            ]
+        )
+        blocks = self.postings.filter(self._bucket_filter(essential)).filter(
+            F.col(bm_col) >= F.element_at(thresh_map, F.col("term"))
+        )
+        if self.config.compression:
+            exploded = _decode_blocks(blocks).select("doc_id")
+        else:
+            exploded = blocks.select(
+                F.explode("doc_ids").alias("doc_id")
+            )
+        return exploded.distinct()
 
     # ---------- batch (TestPerformance.java analogue) ----------
 

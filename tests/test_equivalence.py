@@ -81,3 +81,27 @@ def test_parallelism_invariant_results(spark, engine, lowpar_dir):
     le = SearchEngine(spark, lowpar_dir)
     for q in QUERIES:
         assert _results(engine, q) == _results(le, q), q
+
+
+def test_block_max_pruning_is_active_and_safe(engine):
+    """The MaxScore candidate generator must PRUNE blocks when theta is
+    high (not merely stay correct): with an artificially raised theta the
+    candidate set shrinks, and with theta=0 it equals the full essential
+    union. Safety (rank-identity) is covered by test_daat_equals_maxscore;
+    this pins that the pruning predicate actually fires."""
+    terms = engine.tokenize_query("spark table join fast")
+    stats = engine._term_stats(terms)
+    terms = [t for t in terms if t in stats]
+    assert len(terms) >= 2
+    total_ub = sum(stats[t]["max_bm25"] for t in terms)
+
+    full = engine._candidates_block_max(
+        terms, stats, "bm25", theta=0.0, total_ub=total_ub
+    ).count()
+    # theta just under the max possible score: only blocks whose max can
+    # still reach it survive
+    tight = engine._candidates_block_max(
+        terms, stats, "bm25", theta=total_ub * 0.999, total_ub=total_ub
+    ).count()
+    assert full > 0
+    assert tight < full, (tight, full)
