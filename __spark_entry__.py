@@ -197,6 +197,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "fingerprint"
         )
 
+    def bm25_topk_k100(spark, sf):
+        return _topk_df(_engine(spark, sf), Q_DISJ, k=100)
+
+    def tfidf_topk_conjunctive(spark, sf):
+        return _topk_df(
+            _engine(spark, sf), Q_CONJ, k=10, mode="conjunctive", scorer="tfidf"
+        )
+
+    def top_terms_by_cf(spark, sf):
+        return (
+            _engine(spark, sf)
+            .lexicon.select(
+                "term",
+                F.col("cf").cast("long").alias("cf"),
+                F.col("df").cast("long").alias("df"),
+            )
+            .orderBy(F.desc("cf"), "term")
+            .limit(20)
+        )
+
+    def term_block_structure(spark, sf):
+        eng = _engine(spark, sf)
+        return eng.lexicon.select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("block_size").cast("long").alias("block_size"),
+            F.col("n_blocks").cast("long").alias("n_blocks"),
+        )
+
     def embedding_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf.rstrip('/')}/embeddings.parquet")
         qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
@@ -238,6 +267,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk_disjunctive": tfidf_topk_disjunctive,
         "bm25_topk_conjunctive": bm25_topk_conjunctive,
         "bm25_topk_maxscore": bm25_topk_maxscore,
+        "bm25_topk_k100": bm25_topk_k100,
+        "tfidf_topk_conjunctive": tfidf_topk_conjunctive,
+        "top_terms_by_cf": top_terms_by_cf,
+        "term_block_structure": term_block_structure,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -404,6 +437,26 @@ SELECT doc_id, tf FROM tft WHERE term = '{PROBE_TERM}'
     sql["tfidf_topk_disjunctive"] = _topk_sql(Q_TFIDF, scorer="tfidf")
     sql["bm25_topk_conjunctive"] = _topk_sql(Q_CONJ, conjunctive=True)
     sql["bm25_topk_maxscore"] = _topk_sql(Q_MAXSCORE)
+    sql["bm25_topk_k100"] = _topk_sql(Q_DISJ, k=100)
+    sql["tfidf_topk_conjunctive"] = _topk_sql(Q_CONJ, scorer="tfidf", conjunctive=True)
+
+    sql["top_terms_by_cf"] = f"""
+WITH {_BASE_CTES}
+SELECT term, cf, df FROM lex ORDER BY cf DESC, term LIMIT 20
+"""
+
+    # block layout: lists with df >= 64 (ENTRY_CONFIG.skip_threshold) are
+    # split into ceil(sqrt(df))-sized blocks; shorter lists are one block
+    sql["term_block_structure"] = f"""
+WITH {_BASE_CTES}
+SELECT term, df,
+       CAST(CASE WHEN df >= 64 THEN ceil(sqrt(df)) ELSE df END AS BIGINT)
+         AS block_size,
+       CAST(ceil(CAST(df AS DOUBLE) /
+                 (CASE WHEN df >= 64 THEN ceil(sqrt(df)) ELSE df END))
+         AS BIGINT) AS n_blocks
+FROM lex
+"""
 
     sql["dedup_exact"] = f"""
 WITH {_BASE_CTES}
