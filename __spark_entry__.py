@@ -226,6 +226,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_blocks").cast("long").alias("n_blocks"),
         )
 
+    def windowed_event_rollup(spark, sf):
+        from searchengine_spark.streaming.windows import (
+            windowed_event_rollup as rollup,
+        )
+
+        ev = spark.read.parquet(f"{sf.rstrip('/')}/events.parquet")
+        return rollup(ev, window_minutes=60).select(
+            F.unix_timestamp("window_start").alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+
     def embedding_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf.rstrip('/')}/embeddings.parquet")
         qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
@@ -271,6 +285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk_conjunctive": tfidf_topk_conjunctive,
         "top_terms_by_cf": top_terms_by_cf,
         "term_block_structure": term_block_structure,
+        "windowed_event_rollup": windowed_event_rollup,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -439,6 +454,16 @@ SELECT doc_id, tf FROM tft WHERE term = '{PROBE_TERM}'
     sql["bm25_topk_maxscore"] = _topk_sql(Q_MAXSCORE)
     sql["bm25_topk_k100"] = _topk_sql(Q_DISJ, k=100)
     sql["tfidf_topk_conjunctive"] = _topk_sql(Q_CONJ, scorer="tfidf", conjunctive=True)
+
+    sql["windowed_event_rollup"] = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
 
     sql["top_terms_by_cf"] = f"""
 WITH {_BASE_CTES}
