@@ -240,6 +240,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_users",
         )
 
+    def sessionize_events(spark, sf):
+        from searchengine_spark.streaming.sessions import sessionize_batch
+
+        ev = spark.read.parquet(f"{sf.rstrip('/')}/events.parquet")
+        return sessionize_batch(ev, gap_minutes=30).select(
+            "user_id",
+            F.unix_timestamp(F.col("session_start").cast("timestamp")).alias(
+                "session_start_epoch"
+            ),
+            F.unix_timestamp(F.col("session_end").cast("timestamp")).alias(
+                "session_end_epoch"
+            ),
+            "n_events",
+            "sum_value",
+        )
+
     def embedding_cosine_topk(spark, sf):
         emb = spark.read.parquet(f"{sf.rstrip('/')}/embeddings.parquet")
         qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
@@ -265,6 +281,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "media_type", F.size("feature").alias("feature_dim")
         )
 
+    def embedding_cosine_topk_ivf(spark, sf):
+        emb = spark.read.parquet(f"{sf.rstrip('/')}/embeddings.parquet")
+        qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        assigned, centroids = SIM.ivf_build(
+            emb.filter(F.col("vec_id") != 0), n_lists=8
+        )
+        return SIM.ivf_cosine_topk(
+            assigned, centroids, qv, k=10, n_probe=4
+        ).select(F.col("vec_id").cast("long").alias("vec_id"), "cosine")
+
     def embedding_cosine_topk_lsh(spark, sf):
         emb = spark.read.parquet(f"{sf.rstrip('/')}/embeddings.parquet")
         qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
@@ -286,6 +312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_by_cf": top_terms_by_cf,
         "term_block_structure": term_block_structure,
         "windowed_event_rollup": windowed_event_rollup,
+        "sessionize_events": sessionize_events,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -297,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": simhash_fingerprints,
         "multimodal_features": multimodal_features,
         "embedding_cosine_topk_lsh": embedding_cosine_topk_lsh,
+        "embedding_cosine_topk_ivf": embedding_cosine_topk_ivf,
     }
 
 
@@ -463,6 +491,28 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events
 GROUP BY 1, 2
+"""
+
+    sql["sessionize_events"] = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM marked
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end_epoch,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM numbered GROUP BY user_id, sess
 """
 
     sql["top_terms_by_cf"] = f"""

@@ -97,3 +97,59 @@ def lsh_cosine_topk(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ivf_build(
+    vectors: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF (inverted-file) index: k-means coarse quantizer + cluster
+    assignment. Returns (assigned_df, centroids) where assigned_df adds a
+    ``list_id`` column. At cluster scale, write ``assigned_df``
+    partitioned by list_id so a probe reads only n_probe partitions —
+    the same partition-pruning story as the text index's term_bucket."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = vectors.withColumn("_features", array_to_vector(F.col(vec_col)))
+    model = KMeans(
+        k=n_lists, seed=seed, featuresCol="_features", predictionCol="list_id"
+    ).fit(feat)
+    assigned = model.transform(feat).drop("_features")
+    centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_cosine_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k over an IVF index: probe only the
+    ``n_probe`` lists whose centroids are closest to the query (by
+    cosine), exact cosine within them. The list filter is a partition
+    prune when ``assigned`` is stored partitioned by list_id."""
+    q = np.asarray(query_vec, dtype=float)
+    qn = np.linalg.norm(q)
+    sims = [
+        (i, float(np.dot(q, np.asarray(c)) / (qn * np.linalg.norm(c) + 1e-12)))
+        for i, c in enumerate(centroids)
+    ]
+    probe = [i for i, _ in sorted(sims, key=lambda x: -x[1])[:n_probe]]
+
+    qcol = F.lit([float(x) for x in query_vec])
+    v = F.col(vec_col)
+    cos = _dot(v, qcol) / (_norm(v) * _norm(qcol))
+    return (
+        assigned.filter(F.col("list_id").isin(probe))
+        .select(F.col(id_col).alias("vec_id"), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -1,0 +1,105 @@
+"""Sessionization: batch (oracle ground truth) vs streaming
+session_window, plus the applyInPandasWithState running-stats operator."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.streaming.sessions import (
+    running_user_stats,
+    sessionize_batch,
+    sessionize_stream,
+)
+from searchengine_spark.streaming.windows import stream_events
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet").persist()
+
+
+def test_batch_sessions_properties(events):
+    sess = sessionize_batch(events, gap_minutes=30).collect()
+    assert sum(s["n_events"] for s in sess) == events.count()
+    for s in sess:
+        assert s["session_start"] <= s["session_end"]
+    # per-user sessions must be non-overlapping and gap-separated
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for s in sess:
+        by_user[s["user_id"]].append(s)
+    for user, ss in by_user.items():
+        ss.sort(key=lambda s: s["session_start"])
+        for a, b in zip(ss, ss[1:]):
+            gap = (b["session_start"] - a["session_end"]).total_seconds()
+            assert gap > 30 * 60, (user, a, b)
+
+
+def test_stream_sessions_match_batch(spark, events, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    events.orderBy("ts").coalesce(1).write.parquet(input_dir)
+    q = (
+        sessionize_stream(
+            stream_events(spark, input_dir, 1), gap_minutes=30,
+            watermark_minutes=60,
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in sessionize_batch(events, gap_minutes=30).collect()
+    }
+    assert streamed, "no sessions finalized"
+    for k, v in streamed.items():
+        assert batch[k] == v, k
+
+
+def test_running_user_stats_stateful(spark, events, tmp_path):
+    input_dir = str(tmp_path / "in2")
+    out_dir = str(tmp_path / "out2")
+    events.orderBy("ts").repartition(3).write.parquet(input_dir)
+    q = (
+        running_user_stats(stream_events(spark, input_dir, 1))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_stats")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table("running_stats")
+    # final per-user snapshot (max n_events) must equal the batch totals
+    final = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in out.orderBy("n_events")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_value").alias("sum_value"),
+        )
+        .collect()
+    }
+    truth = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("s"),
+        )
+        .collect()
+    }
+    assert final == truth
