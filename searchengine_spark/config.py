@@ -52,7 +52,8 @@ class EngineConfig:
     term_dim: int = 20
 
     # number of term hash-buckets the postings/lexicon tables are
-    # partitioned by (query-time partition pruning on pmod(xxhash64(term)))
+    # partitioned by (query-time partition pruning on pmod(crc32(term)) —
+    # crc32 so external engines/oracles can reproduce the bucketing)
     n_term_buckets: int = 32
 
     # shuffle partitions hint for the build

@@ -66,16 +66,6 @@ def _ends_cvc(word: str) -> bool:
     )
 
 
-def _rule(word: str, suffix: str, repl: str, min_m: int) -> str | None:
-    """Apply ``(m > min_m-?) suffix -> repl``; None when not applicable."""
-    if not word.endswith(suffix):
-        return None
-    stem = word[: len(word) - len(suffix)]
-    if _measure(stem) > min_m:
-        return stem + repl
-    return word  # suffix matched but condition failed: stop rule scanning
-
-
 # (suffix, replacement) lists for steps 2-4; first matching suffix wins,
 # exactly like the algorithm's longest-match-within-step convention
 # (the lists are ordered so no earlier entry is a suffix of a later one

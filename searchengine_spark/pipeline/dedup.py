@@ -163,17 +163,17 @@ def simhash64(shingled: DataFrame) -> DataFrame:
     )
     lo = _md5_hash32(F.col("sh"), F.lit("lo"))
     hi = _md5_hash32(F.col("sh"), F.lit("hi"))
-    # hi<<32 | lo via bitwise ops (wraps into the sign bit, no overflow)
-    h64 = F.expr("shiftleft(hi, 32) | lo")
-    bits = sh.select(
+    # materialize the 64-bit hash ONCE per (doc, shingle) BEFORE exploding
+    # the 64 bit positions — projected after the generator, the two md5s
+    # would be re-evaluated for every bit row (128 digests per shingle)
+    hashed = sh.select(
         "doc_id",
+        (F.shiftleft(hi, 32).bitwiseOR(lo)).alias("h"),
+    )
+    bits = hashed.select(
+        "doc_id",
+        "h",
         F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-        hi.alias("hi"),
-        lo.alias("lo"),
-    ).select(
-        "doc_id",
-        "bit",
-        h64.alias("h"),
     ).select(
         "doc_id",
         "bit",

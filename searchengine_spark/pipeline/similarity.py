@@ -44,7 +44,13 @@ def cosine_topk(
     """Exact brute-force cosine top-k: (vec_id, cosine), ties by vec_id."""
     q = F.lit([float(x) for x in query_vec])
     v = F.col(vec_col)
-    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    # zero-norm vector (or query): ANSI mode (Spark 4 default) THROWS on
+    # 0/0 and non-ANSI yields NaN which sorts ABOVE all doubles — use
+    # try_divide (NULL on zero divisor) and rank such vectors last
+    cos = F.coalesce(
+        F.nanvl(F.try_divide(_dot(v, q), _norm(v) * _norm(q)), F.lit(-2.0)),
+        F.lit(-2.0),
+    )
     return (
         vectors.select(F.col(id_col).alias("vec_id"), F.round(cos, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -89,10 +95,12 @@ def lsh_cosine_topk(
     sig = rp_signature_expr(v, planes)
     hamming = F.bit_count(sig.bitwiseXOR(F.lit(qsig)))
     q = F.lit([float(x) for x in query_vec])
-    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    cos = F.coalesce(
+        F.nanvl(F.try_divide(_dot(v, q), _norm(v) * _norm(q)), F.lit(-2.0)),
+        F.lit(-2.0),
+    )
     return (
-        vectors.withColumn("_sig", sig)
-        .filter(hamming <= max_hamming)
+        vectors.filter(hamming <= max_hamming)
         .select(F.col(id_col).alias("vec_id"), F.round(cos, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
@@ -146,7 +154,10 @@ def ivf_cosine_topk(
 
     qcol = F.lit([float(x) for x in query_vec])
     v = F.col(vec_col)
-    cos = _dot(v, qcol) / (_norm(v) * _norm(qcol))
+    cos = F.coalesce(
+        F.nanvl(F.try_divide(_dot(v, qcol), _norm(v) * _norm(qcol)), F.lit(-2.0)),
+        F.lit(-2.0),
+    )
     return (
         assigned.filter(F.col("list_id").isin(probe))
         .select(F.col(id_col).alias("vec_id"), F.round(cos, 6).alias("cosine"))

@@ -65,10 +65,22 @@ class SearchEngine:
         self.config = EngineConfig.load(self.index_dir)
         with open(os.path.join(self.index_dir, "stats.json")) as f:
             self.stats = json.load(f)
-        self.lexicon = spark.read.parquet(os.path.join(self.index_dir, "lexicon"))
         self._lex_cache: dict[str, Optional[dict]] = {}
+        self._lexicon_df: Optional[DataFrame] = None
         self.postings = spark.read.parquet(os.path.join(self.index_dir, "postings"))
         self.doctable = spark.read.parquet(os.path.join(self.index_dir, "doctable"))
+
+    @property
+    def lexicon(self) -> DataFrame:
+        """Full lexicon as a DataFrame (analytics over the dictionary).
+        Lazy: the QUERY path never touches it — per-term probes go through
+        the bucket-pruned pyarrow read in _term_stats — so engine
+        construction skips the parquet listing/schema pass."""
+        if self._lexicon_df is None:
+            self._lexicon_df = self.spark.read.parquet(
+                os.path.join(self.index_dir, "lexicon")
+            )
+        return self._lexicon_df
 
     # ---------- plumbing ----------
 
@@ -328,6 +340,10 @@ class SearchEngine:
             r = self.search(text, k=k, mode=mode, scorer=scorer, algo=algo)
             r = r.select(F.lit(qid).alias("query_id"), "rank", "doc_id", "score")
             out = r if out is None else out.unionAll(r)
+        if out is None:  # empty query set -> empty run, not None
+            out = self.spark.createDataFrame(
+                [], "query_id string, rank int, doc_id long, score double"
+            )
         return out
 
 

@@ -72,6 +72,9 @@ def efficiency_report(
         engine.search(text, k=k, **search_kw).collect()
         per_query[qid] = round(time.time() - t0, 4)
     lat = list(per_query.values())
+    if not lat:
+        return {"per_query_sec": {}, "mean_sec": None, "p50_sec": None,
+                "max_sec": None, "k": k}
     return {
         "per_query_sec": per_query,
         "mean_sec": round(sum(lat) / len(lat), 4),

@@ -102,10 +102,17 @@ def assign_doc_ids(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     skey = F.concat_ws("\x00", *key)
+    # Cap the driver-side boundary sample: pick the hash modulus so the
+    # EXPECTED sample is ~64 keys per range (bounded regardless of corpus
+    # size — at 1e12 rows the modulus grows instead of the sample). Costs
+    # one column-pruned count; the builder calls this on a cached frame.
+    n_rows = corpus.count()
+    target = max(2 * n, min(100_000, 64 * n))
+    mod = max(1, n_rows // target)
     sampled = sorted(
         r["k"]
         for r in corpus.select(skey.alias("k"))
-        .filter(F.pmod(F.xxhash64(skey), F.lit(64)) == 0)
+        .filter(F.pmod(F.xxhash64(skey), F.lit(mod)) == 0)
         .collect()
     )
     if len(sampled) >= 2 * n:

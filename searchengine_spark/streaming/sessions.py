@@ -68,6 +68,11 @@ def sessionize_stream(
         .select(
             "user_id",
             F.col("sw.start").alias("session_start"),
+            # session_window's end is last-event + gap; subtract the gap so
+            # the column means the same thing as the batch form (max ts)
+            (
+                F.col("sw.end") - F.expr(f"INTERVAL {gap_minutes} MINUTES")
+            ).alias("session_end"),
             "n_events",
             "sum_value",
         )
@@ -85,14 +90,32 @@ def running_user_stats(events: DataFrame, watermark_minutes: int = 60):
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "user_id long, n_events long, sum_value double"
-    state_schema = "n long, total double"
+    state_schema = "n long, total double, last_ts_ms long"
+    expiry_ms = watermark_minutes * 60_000
 
     def update(key, pdfs, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        if state.hasTimedOut:
+            # user quiet past the watermark + expiry horizon: drop state
+            # so the store stays bounded on churning user populations
+            state.remove()
+            return
+        n, total, last_ms = state.get if state.exists else (0, 0.0, 0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
-        state.update((n, round(total, 6)))
+            if len(pdf):
+                last_ms = max(
+                    last_ms,
+                    int(pd.to_datetime(pdf["ts"]).max().value // 1_000_000),
+                )
+        state.update((n, round(total, 6), last_ms))
+        # event-time timeout: expire once the watermark passes the user's
+        # last activity + expiry horizon (clamped above the current
+        # watermark — Spark rejects timeouts at or behind it, which
+        # happens whenever a user's last event lags the stream's head)
+        state.setTimeoutTimestamp(
+            max(last_ms + expiry_ms, state.getCurrentWatermarkMs() + 1)
+        )
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 6)]}
         )
@@ -105,6 +128,6 @@ def running_user_stats(events: DataFrame, watermark_minutes: int = 60):
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -71,8 +71,12 @@ def test_running_user_stats_stateful(spark, events, tmp_path):
     input_dir = str(tmp_path / "in2")
     out_dir = str(tmp_path / "out2")
     events.orderBy("ts").repartition(3).write.parquet(input_dir)
+    # horizon far beyond the data's time span: no state expires, so the
+    # final snapshot must equal the all-time batch totals
     q = (
-        running_user_stats(stream_events(spark, input_dir, 1))
+        running_user_stats(
+            stream_events(spark, input_dir, 1), watermark_minutes=10_000_000
+        )
         .writeStream.outputMode("update")
         .format("memory")
         .queryName("running_stats")
@@ -103,3 +107,36 @@ def test_running_user_stats_stateful(spark, events, tmp_path):
         .collect()
     }
     assert final == truth
+
+
+def test_running_user_stats_state_expiry(spark, events, tmp_path):
+    """With a short expiry horizon, quiet gaps longer than the horizon
+    must reset a user's running totals (event-time timeout removed the
+    state) — the final emitted count is then below the all-time total."""
+    input_dir = str(tmp_path / "in3")
+    events.orderBy("ts").repartition(8).write.parquet(input_dir)
+    q = (
+        running_user_stats(
+            stream_events(spark, input_dir, 1), watermark_minutes=60
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_stats_exp")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    final = {
+        r["user_id"]: r["n_events"]
+        for r in spark.table("running_stats_exp")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    truth = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert any(final[u] < truth[u] for u in truth), "expiry never fired"
+    assert all(final[u] <= truth[u] for u in truth)
