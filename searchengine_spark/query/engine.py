@@ -15,16 +15,24 @@ The reference's three algorithms (query/ directory) and their Spark forms:
   and Catalyst's hash aggregate beats a cascade of sort-merge joins).
 
 * MaxScore (MaxScore.java:14-96) — upper-bound pruned disjunctive.
-  Distributed form (exact, rank-identical to DAAT by construction):
-    1. theta = k-th best single-term score of the highest-upper-bound
-       term (a valid lower bound on the final top-k threshold);
+  Distributed form (exact, rank-identical to DAAT by construction), ONE
+  Spark job, zero driver-side collects:
+    1. theta from index METADATA already held driver-side: for any query
+       term, its blocks partition disjoint doc sets, so k distinct docs
+       achieve its k largest per-block maxima — the k-th largest block
+       max is a valid lower bound on the final k-th score (all partial
+       scores are positive). theta = the best such bound over the query
+       terms. This replaces the reference's heap-threshold bootstrap
+       (MaxScore.java:75-83) without scanning any posting data.
     2. split terms into essential/non-essential by the reference's
        cumulative-upper-bound rule (MaxScore.java:41-55): the longest
        ascending-ub prefix whose ub sum <= theta is non-essential — a doc
        appearing ONLY in non-essential lists cannot reach theta;
-    3. candidates = distinct doc_ids of the essential lists (usually the
-       rare terms — tiny fraction of postings);
-    4. exact-score ONLY the candidates (semi-join) over all lists, top-k.
+    3. candidates = doc_ids of the essential lists' unpruned blocks
+       (usually the rare terms — tiny fraction of postings);
+    4. exact-score ONLY the candidates (left-semi join, broadcast when
+       the essential dfs say the candidate side is small) over all
+       lists, top-k.
   Fixes reference quirks Q-2/Q-3 (stale per-term bound; list 0 never
   probed): bounds here are true global maxima stored by the build, so
   MaxScore == DAAT always — the reference's own equivalence-test intent.
@@ -66,9 +74,29 @@ class SearchEngine:
         with open(os.path.join(self.index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         self._lex_cache: dict[str, Optional[dict]] = {}
+        self._block_max_cache: dict[str, list[dict]] = {}
         self._lexicon_df: Optional[DataFrame] = None
         self.postings = spark.read.parquet(os.path.join(self.index_dir, "postings"))
         self.doctable = spark.read.parquet(os.path.join(self.index_dir, "doctable"))
+
+    def refresh(self) -> None:
+        """Invalidate the per-term memo caches and re-read the index
+        frames. Call after the index directory is updated IN PLACE (e.g.
+        streaming compaction into the same dir) — without this, negative
+        lexicon lookups memoized before the update would keep treating
+        newly indexed terms as absent."""
+        self._lex_cache.clear()
+        self._block_max_cache.clear()
+        self._lexicon_df = None
+        with open(os.path.join(self.index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.config = EngineConfig.load(self.index_dir)
+        self.postings = self.spark.read.parquet(
+            os.path.join(self.index_dir, "postings")
+        )
+        self.doctable = self.spark.read.parquet(
+            os.path.join(self.index_dir, "doctable")
+        )
 
     @property
     def lexicon(self) -> DataFrame:
@@ -130,6 +158,56 @@ class SearchEngine:
                 if t in found:
                     out[t] = found[t]
         return out
+
+    def _block_maxima(self, terms: Sequence[str]) -> dict[str, list[dict]]:
+        """Per-term skip-block metadata (block_max_bm25/tfidf, n_postings)
+        — the driver-side analogue of the reference's RAM-resident skip
+        info (SkipList.java:24-46). Column-projected pyarrow read of the
+        postings table: parquet being columnar, the posting arrays/blobs
+        are never touched — this reads 3 small columns of the query
+        terms' bucket partitions only. Memoized per engine instance."""
+        missing = [t for t in terms if t not in self._block_max_cache]
+        if missing:
+            import pyarrow.dataset as ds
+
+            dataset = ds.dataset(
+                os.path.join(self.index_dir, "postings"),
+                format="parquet",
+                partitioning="hive",
+            )
+            buckets = sorted(
+                {term_bucket_py(t, self.config.n_term_buckets) for t in missing}
+            )
+            tbl = dataset.to_table(
+                filter=ds.field("term_bucket").isin(buckets)
+                & ds.field("term").isin(missing),
+                columns=["term", "n_postings", "block_max_bm25", "block_max_tfidf"],
+            )
+            for t in missing:
+                self._block_max_cache[t] = []
+            for r in tbl.to_pylist():
+                self._block_max_cache[r["term"]].append(r)
+        return {t: self._block_max_cache[t] for t in terms}
+
+    def _theta_from_blocks(
+        self, terms: Sequence[str], scorer: str, k: int
+    ) -> float:
+        """Lower bound on the k-th best final score, from metadata alone.
+
+        For one term, blocks partition disjoint doc_id ranges and each
+        block's max is achieved by some doc in it, so the k-th largest
+        block max is achieved by k DISTINCT docs via their single-term
+        scores — and every partial score is positive (idf > 0 because
+        df <= true_docs < n_docs under Q-1 inflation), so final scores
+        only exceed them. Terms with fewer than k blocks contribute no
+        bound (0.0). The best bound over the query's terms is returned."""
+        bm_key = "block_max_bm25" if scorer == "bm25" else "block_max_tfidf"
+        theta = 0.0
+        for t, blocks in self._block_maxima(terms).items():
+            if len(blocks) >= k:
+                kth = sorted((b[bm_key] for b in blocks), reverse=True)[k - 1]
+                theta = max(theta, kth)
+        return theta
 
     def _exploded_postings(self, terms: Sequence[str]) -> DataFrame:
         """(term, doc_id, tf, doc_len) rows for the query terms only —
@@ -250,20 +328,18 @@ class SearchEngine:
         )
         return self._topk(per_doc, k)
 
+    # candidate sides whose essential dfs sum below this are broadcast in
+    # the semi join (doc_ids only: ~8 B/row -> <= ~16 MB broadcast)
+    BROADCAST_CANDIDATE_DF = 2_000_000
+
     def _maxscore(self, terms, stats, scorer: str, k: int) -> DataFrame:
         ub_key = "max_bm25" if scorer == "bm25" else "max_tfidf"
         # ascending upper bounds, like MaxScore.java:27-33
         ordered = sorted(terms, key=lambda t: stats[t][ub_key])
 
-        # phase 1: theta seed from the highest-ub term alone
-        top_term = ordered[-1]
-        seed = (
-            self._scored([top_term], {top_term: stats[top_term]}, scorer)
-            .orderBy(F.desc("score"))
-            .limit(k)
-            .collect()
-        )
-        theta = seed[k - 1]["score"] if len(seed) >= k else 0.0
+        # phase 1 (driver metadata only, NO Spark job): theta lower bound
+        # from the per-block maxima the build persisted
+        theta = self._theta_from_blocks(terms, scorer, k)
 
         # phase 2: essential/non-essential split by cumulative ub
         cum, essential = 0.0, []
@@ -271,7 +347,7 @@ class SearchEngine:
             cum += stats[t][ub_key]
             if cum > theta:
                 essential.append(t)
-        if not essential:  # defensive: can't happen (top term alone > theta)
+        if not essential:  # defensive: can't happen (top term ub >= theta)
             essential = [ordered[-1]]
 
         scored = self._scored(terms, stats, scorer)
@@ -279,10 +355,14 @@ class SearchEngine:
             candidates = self._candidates_block_max(
                 essential, stats, scorer, theta, total_ub=cum
             )
+            ess_df = sum(stats[t]["df"] for t in essential)
+            if ess_df <= self.BROADCAST_CANDIDATE_DF:
+                candidates = F.broadcast(candidates)
             scored = scored.join(candidates, "doc_id", "left_semi")
         per_doc = self._sum_scores(scored, terms).drop("n_terms")
         # theta is a LOWER bound on the kth final score: safe pre-filter
-        per_doc = per_doc.filter(F.col("score") >= F.lit(theta))
+        if theta > 0.0:
+            per_doc = per_doc.filter(F.col("score") >= F.lit(theta))
         return self._topk(per_doc, k)
 
     def _candidates_block_max(
@@ -300,9 +380,11 @@ class SearchEngine:
         candidates and are scored exactly over all lists afterwards.
 
         The filter runs JVM-side against the per-block max columns, so
-        parquet reads skip pruned blocks' array columns entirely."""
-        ub_key = "max_bm25" if scorer == "bm25" else "max_tfidf"
+        parquet reads skip pruned blocks' array columns entirely. No
+        ``distinct`` — the left-semi join consuming this dedups for free,
+        saving a shuffle."""
         bm_col = "block_max_bm25" if scorer == "bm25" else "block_max_tfidf"
+        ub_key = "max_bm25" if scorer == "bm25" else "max_tfidf"
         # per-term allowance: theta minus the others' upper bounds
         thresh_map = F.create_map(
             *[
@@ -315,12 +397,8 @@ class SearchEngine:
             F.col(bm_col) >= F.element_at(thresh_map, F.col("term"))
         )
         if self.config.compression:
-            exploded = _decode_blocks(blocks).select("doc_id")
-        else:
-            exploded = blocks.select(
-                F.explode("doc_ids").alias("doc_id")
-            )
-        return exploded.distinct()
+            return _decode_blocks(blocks).select("doc_id")
+        return blocks.select(F.explode("doc_ids").alias("doc_id"))
 
     # ---------- batch (TestPerformance.java analogue) ----------
 
@@ -332,19 +410,93 @@ class SearchEngine:
         scorer: str = "bm25",
         algo: str = "daat",
     ) -> DataFrame:
-        """Run (query_id, text) pairs; returns a TREC-run-shaped DataFrame
-        (query_id, rank, doc_id, score) — S10's run-file sink is then just
-        a .write.csv of this."""
-        out = None
-        for qid, text in queries:
-            r = self.search(text, k=k, mode=mode, scorer=scorer, algo=algo)
-            r = r.select(F.lit(qid).alias("query_id"), "rank", "doc_id", "score")
-            out = r if out is None else out.unionAll(r)
-        if out is None:  # empty query set -> empty run, not None
-            out = self.spark.createDataFrame(
+        """Run (query_id, text) pairs as ONE Spark job; returns a
+        TREC-run-shaped DataFrame (query_id, rank, doc_id, score) — S10's
+        run-file sink is then just a .write.csv of this.
+
+        The reference evaluates its query set serially
+        (TestPerformance.java:58-147); a naive Spark translation (one
+        search() plan per query unioned) is a driver bottleneck at 10k
+        queries. Instead the whole set becomes data: a broadcast
+        (query_id, term, idf) table joined against ONE bucket-pruned
+        postings scan of the union of query terms, then
+        ``groupBy(query_id, doc_id)`` and a per-query window top-k —
+        plan size and job count are constant in the number of queries.
+
+        Scores are bit-identical to the single-query path: the per-doc
+        sum folds addends in sorted-term order (array_sort on the tiny
+        per-doc (term, score) list — <= |query terms| elements), and
+        adding coalesce-zeros for absent terms is a float no-op, so the
+        two summation orders agree exactly.
+
+        ``algo='maxscore'`` applies each query's metadata-derived theta
+        (see _theta_from_blocks) as an exact score pre-filter; results
+        are identical to DAAT by construction either way."""
+        tokenized = [(qid, self.tokenize_query(text)) for qid, text in queries]
+        all_terms = sorted({t for _, ts in tokenized for t in ts})
+        stats = self._term_stats(all_terms)  # ONE lexicon probe
+        rows = []
+        for qid, ts in tokenized:
+            known = sorted({t for t in ts if t in stats})
+            for t in known:
+                rows.append((qid, t, float(stats[t]["idf"]), len(known)))
+        if not rows:
+            return self.spark.createDataFrame(
                 [], "query_id string, rank int, doc_id long, score double"
             )
-        return out
+        qterms = self.spark.createDataFrame(
+            rows, "query_id string, term string, idf double, n_q_terms int"
+        )
+        union_terms = sorted({r[1] for r in rows})
+        cfg = self.config
+        partial = (
+            bm25_partial_expr(
+                F.col("tf"), F.col("doc_len"), self.stats["avgdl"], cfg.k1, cfg.b
+            )
+            if scorer == "bm25"
+            else tfidf_partial_expr(F.col("tf"))
+        )
+        scored = (
+            self._exploded_postings(union_terms)
+            .join(F.broadcast(qterms), "term")
+            .withColumn("score", partial * F.col("idf"))
+        )
+        per = scored.groupBy("query_id", "doc_id").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "score"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["score"],
+            ).alias("score"),
+            F.count("*").alias("n_hit"),
+            F.first("n_q_terms").alias("n_q_terms"),
+        )
+        if mode == "conjunctive":
+            per = per.filter(F.col("n_hit") == F.col("n_q_terms"))
+        if algo == "maxscore":
+            thetas = {
+                qid: self._theta_from_blocks(
+                    [t for t in ts if t in stats], scorer, k
+                )
+                for qid, ts in tokenized
+            }
+            if any(v > 0.0 for v in thetas.values()):
+                theta_map = F.create_map(
+                    *[F.lit(x) for q, v in thetas.items() for x in (q, v)]
+                )
+                per = per.filter(
+                    F.col("score")
+                    >= F.coalesce(
+                        F.element_at(theta_map, F.col("query_id")), F.lit(0.0)
+                    )
+                )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            per.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
 
 
 def _decode_blocks(blocks: DataFrame) -> DataFrame:

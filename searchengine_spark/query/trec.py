@@ -65,7 +65,9 @@ def efficiency_report(
     **search_kw,
 ) -> dict:
     """Per-query + aggregate wall-clock latency — the reference's
-    efficiency mode (TestPerformance.java:58-104)."""
+    efficiency mode (TestPerformance.java:58-104). Serial per-query jobs:
+    measures interactive latency. For throughput over a large query set
+    use :func:`batch_efficiency_report` (one job, amortized cost)."""
     per_query = {}
     for qid, text in queries:
         t0 = time.time()
@@ -80,5 +82,29 @@ def efficiency_report(
         "mean_sec": round(sum(lat) / len(lat), 4),
         "p50_sec": round(statistics.median(lat), 4),
         "max_sec": round(max(lat), 4),
+        "k": k,
+    }
+
+
+def batch_efficiency_report(
+    engine: SearchEngine,
+    queries: Sequence[tuple[str, str]],
+    k: int = 10,
+    **search_kw,
+) -> dict:
+    """Amortized throughput over the query set via the single-job batch
+    path (engine.batch_search): one wall-clock for N queries. This is the
+    number that stays ~flat per added query — the scale story the serial
+    report can't show (its cost is N x job-submission overhead)."""
+    t0 = time.time()
+    n_rows = engine.batch_search(queries, k=k, **search_kw).count()
+    total = time.time() - t0
+    n = max(len(queries), 1)
+    return {
+        "n_queries": len(queries),
+        "result_rows": n_rows,
+        "total_sec": round(total, 4),
+        "amortized_sec_per_query": round(total / n, 4),
+        "queries_per_sec": round(n / total, 2) if total > 0 else None,
         "k": k,
     }

@@ -78,3 +78,44 @@ def test_batch_search(engine, oracle):
     for qid, text in qs:
         got = pdf[pdf.query_id == qid].sort_values("rank")["doc_id"].tolist()
         assert got == [d for d, _ in oracle.search(text, k=5)]
+
+
+def test_batch_search_bit_identical_to_single(engine):
+    """The single-job batch path must reproduce the per-query path's
+    scores EXACTLY (same sorted-term summation order), for every mode."""
+    qs = [("a", q) for q in QUERIES[:5]]
+    qs = [(f"q{i}", q) for i, (_, q) in enumerate(qs)]
+    for mode in ("disjunctive", "conjunctive"):
+        for algo in ("daat", "maxscore"):
+            pdf = (
+                engine.batch_search(qs, k=10, mode=mode, algo=algo)
+                .toPandas()
+                .sort_values(["query_id", "rank"])
+            )
+            for qid, text in qs:
+                single = engine.search(text, k=10, mode=mode).collect()
+                got = pdf[pdf.query_id == qid]
+                assert got["doc_id"].tolist() == [r["doc_id"] for r in single]
+                assert got["score"].tolist() == [r["score"] for r in single]
+
+
+def test_batch_search_empty_and_unknown(engine):
+    out = engine.batch_search([], k=5)
+    assert out.count() == 0
+    out = engine.batch_search([("q1", "zzz qqq"), ("q2", "spark")], k=5)
+    pdf = out.toPandas()
+    assert set(pdf["query_id"]) == {"q2"}  # all-unknown query yields no rows
+
+
+def test_maxscore_theta_is_metadata_only_lower_bound(engine, oracle):
+    """theta from per-block maxima must lower-bound the k-th true score
+    (exactness of the MaxScore pre-filter) and be > 0 for a hot term."""
+    q = "value table"
+    terms = engine.tokenize_query(q)
+    stats = engine._term_stats(terms)
+    known = [t for t in terms if t in stats]
+    theta = engine._theta_from_blocks(known, "bm25", 10)
+    want = oracle.search(q, k=10)
+    assert len(want) == 10
+    kth = want[-1][1]
+    assert 0.0 < theta <= kth + 1e-12
