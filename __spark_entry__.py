@@ -42,15 +42,35 @@ from searchengine_spark.sources.corpus import (
 ENTRY_CONFIG = EngineConfig(
     stopstem=False, stopwords_only=True, skip_threshold=64, shuffle_partitions=16
 )
+# same semantics, posting blocks stored VByte+Unary compressed — puts the
+# codec + _decode_blocks query path (C1/C2/S6) under the same SQL oracles
+ENTRY_CONFIG_C = EngineConfig(
+    stopstem=False, stopwords_only=True, skip_threshold=64,
+    shuffle_partitions=16, compression=True,
+)
 
 Q_DISJ = "spark table join fast"
 Q_TFIDF = "window agg customer stream"
 Q_CONJ = "table value row"
 Q_MAXSCORE = "fast merge batch sort"
 PROBE_TERM = "spark"
+BATCH_QUERIES = [
+    ("b1", Q_DISJ), ("b2", Q_TFIDF), ("b3", Q_CONJ), ("b4", Q_MAXSCORE)
+]
 
-_ENGINE_CACHE: dict[str, SearchEngine] = {}
+# materialized-ANN entry parameters (all seeded -> reproducible; the LSH
+# oracle reproduces the full banded pipeline in DuckDB with the planes
+# embedded as literals)
+ANN_DIM = 64
+ANN_PLANES = 16
+ANN_BANDS = 4
+ANN_SEED = 42
+ANN_MAX_HAMMING = 8
+IVF_LISTS = 8
+
+_ENGINE_CACHE: dict[tuple[str, bool], SearchEngine] = {}
 _CORPUS_CACHE: dict[str, DataFrame] = {}
+_ANN_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,16 +83,60 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CORPUS_CACHE[key]
 
 
-def _engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
-    key = os.path.abspath(sf_dir)
+def _engine(
+    spark: SparkSession, sf_dir: str, compressed: bool = False
+) -> SearchEngine:
+    key = (os.path.abspath(sf_dir), compressed)
     if key not in _ENGINE_CACHE:
-        idx = "/tmp/se_entry_index/" + hashlib.md5(key.encode()).hexdigest()[:12]
+        suffix = "_c" if compressed else ""
+        idx = (
+            "/tmp/se_entry_index/"
+            + hashlib.md5(key[0].encode()).hexdigest()[:12]
+            + suffix
+        )
         build_index(
-            spark, load_documents_as_corpus(spark, sf_dir), idx, ENTRY_CONFIG,
+            spark,
+            load_documents_as_corpus(spark, sf_dir),
+            idx,
+            ENTRY_CONFIG_C if compressed else ENTRY_CONFIG,
             resume=True,
         )
         _ENGINE_CACHE[key] = SearchEngine(spark, idx)
     return _ENGINE_CACHE[key]
+
+
+def _base_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet").filter(
+        F.col("vec_id") != 0
+    )
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list:
+    emb = spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    return emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+
+
+def _ann_dir(spark: SparkSession, sf_dir: str, method: str) -> str:
+    """Build-once cache of the materialized ANN index per (sf, method)."""
+    key = (os.path.abspath(sf_dir), method)
+    if key not in _ANN_CACHE:
+        out = (
+            "/tmp/se_entry_ann/"
+            + hashlib.md5(key[0].encode()).hexdigest()[:12]
+            + "_"
+            + method
+        )
+        if not os.path.exists(os.path.join(out, "ann_meta.json")):
+            base = _base_vectors(spark, sf_dir)
+            if method == "lsh":
+                SIM.ann_build_lsh(
+                    base, out, dim=ANN_DIM, n_planes=ANN_PLANES,
+                    bands=ANN_BANDS, seed=ANN_SEED,
+                )
+            else:
+                SIM.ann_build_ivf(base, out, n_lists=IVF_LISTS, seed=ANN_SEED)
+        _ANN_CACHE[key] = out
+    return _ANN_CACHE[key]
 
 
 def _topk_df(engine: SearchEngine, query: str, **kw) -> DataFrame:
@@ -171,10 +235,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def ngram_jaccard_pairs(spark, sf):
-        return DD.jaccard_pairs(_shingled(spark, sf), threshold=0.8).select(
+        # scale-safe composition (never standalone over the full corpus):
+        # exact Jaccard only VERIFIES the LSH candidate pair set
+        sh = _shingled(spark, sf)
+        cand = DD.lsh_candidate_pairs(
+            DD.minhash_signatures(sh, num_perm=16), num_perm=16, bands=4
+        )
+        return DD.jaccard_on_candidates(sh, cand, threshold=0.8).select(
             F.col("doc_a").cast("long"),
             F.col("doc_b").cast("long"),
             F.round("jaccard", 6).alias("jaccard"),
+        )
+
+    def dedup_near_groups(spark, sf):
+        return DD.near_duplicate_groups(
+            _shingled(spark, sf), num_perm=16, bands=4, threshold=0.8
+        ).select(
+            F.col("doc_id").cast("long"),
+            F.col("group_id").cast("long"),
+            "keep",
         )
 
     def token_count(spark, sf):
@@ -263,39 +342,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vec_id").cast("long").alias("vec_id"), "cosine"
         )
 
-    # --- non-SQL-expressible ops: rows-only driver check ---
+    def bm25_topk_compressed(spark, sf):
+        # VByte/Unary-compressed index, same oracle SQL as the raw path:
+        # results must be identical (C1/C2/S6 + _decode_blocks under oracle)
+        return _topk_df(_engine(spark, sf, compressed=True), Q_DISJ, k=10)
+
+    def batch_topk(spark, sf):
+        # single-job batch path: one broadcast-join plan for all queries
+        return (
+            _engine(spark, sf)
+            .batch_search(BATCH_QUERIES, k=10)
+            .select(
+                "query_id",
+                F.col("rank").cast("long").alias("rank"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.round(F.col("score"), 6).alias("score"),
+            )
+        )
 
     def simhash_fingerprints(spark, sf):
         return DD.simhash64(_shingled(spark, sf))
 
+    def simhash_near_pairs(spark, sf):
+        return DD.simhash_near_pairs(
+            DD.simhash64(_shingled(spark, sf)), max_hamming=3, bands=4
+        ).select(
+            F.col("doc_a").cast("long"),
+            F.col("doc_b").cast("long"),
+            F.col("hamming").cast("long").alias("hamming"),
+        )
+
     def multimodal_features(spark, sf):
-        from searchengine_spark.pipeline.multimodal import extract_features
+        from searchengine_spark.pipeline.multimodal import (
+            attach_media_metadata,
+            extract_features,
+        )
 
         docs = _corpus(spark, sf).select(
             "doc_id",
             F.lit("image").alias("media_type"),
             F.col("content").cast("binary").alias("payload"),
         )
+        meta = attach_media_metadata(docs)
         feat = extract_features(docs, dim=8, fake=True)
-        return feat.select(
-            "doc_id", "media_type", F.size("feature").alias("feature_dim")
+        return meta.join(feat.select("doc_id", "feature"), "doc_id").select(
+            "doc_id",
+            "media_type",
+            "n_bytes",
+            "payload_sha",
+            F.size("feature").alias("feature_dim"),
         )
 
     def embedding_cosine_topk_ivf(spark, sf):
-        emb = spark.read.parquet(f"{sf.rstrip('/')}/embeddings.parquet")
-        qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
-        assigned, centroids = SIM.ivf_build(
-            emb.filter(F.col("vec_id") != 0), n_lists=8
-        )
-        return SIM.ivf_cosine_topk(
-            assigned, centroids, qv, k=10, n_probe=4
+        # probe-ALL correctness gate: with n_probe == n_lists the IVF
+        # probe must reproduce exact brute force regardless of the
+        # clustering — pins assignment completeness + probe machinery.
+        # Partial-probe pruning quality is pinned by ann_ivf_recall.
+        qv = _query_vector(spark, sf)
+        return SIM.ann_query_ivf(
+            spark, _ann_dir(spark, sf, "ivf"), qv, k=10, n_probe=IVF_LISTS
         ).select(F.col("vec_id").cast("long").alias("vec_id"), "cosine")
 
+    def ann_ivf_recall(spark, sf):
+        # partition-pruned probe (n_probe=4 of 8): deterministic recall
+        # vs exact top-10 given the seeded build; driver pins the
+        # threshold via a literal oracle
+        qv = _query_vector(spark, sf)
+        exact = {
+            r["vec_id"]
+            for r in SIM.cosine_topk(_base_vectors(spark, sf), qv, k=10).collect()
+        }
+        ann = {
+            r["vec_id"]
+            for r in SIM.ann_query_ivf(
+                spark, _ann_dir(spark, sf, "ivf"), qv, k=10, n_probe=4
+            ).collect()
+        }
+        recall_ok = len(ann & exact) >= 7
+        return spark.createDataFrame(
+            [(10, 4, IVF_LISTS, recall_ok)],
+            "k long, n_probe long, n_lists long, recall_ok boolean",
+        )
+
     def embedding_cosine_topk_lsh(spark, sf):
-        emb = spark.read.parquet(f"{sf.rstrip('/')}/embeddings.parquet")
-        qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
-        return SIM.lsh_cosine_topk(
-            emb.filter(F.col("vec_id") != 0), qv, k=10, max_hamming=16
+        # materialized banded-LSH probe; the DuckDB oracle reproduces the
+        # ENTIRE pipeline (signatures from literal hyperplanes, band
+        # pigeonhole probe, Hamming filter, exact cosine)
+        qv = _query_vector(spark, sf)
+        return SIM.ann_query_lsh(
+            spark, _ann_dir(spark, sf, "lsh"), qv, k=10,
+            max_hamming=ANN_MAX_HAMMING,
         ).select(F.col("vec_id").cast("long").alias("vec_id"), "cosine")
 
     return {
@@ -322,9 +458,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": fingerprint,
         "embedding_cosine_topk": embedding_cosine_topk,
         "simhash_fingerprints": simhash_fingerprints,
+        "simhash_near_pairs": simhash_near_pairs,
         "multimodal_features": multimodal_features,
         "embedding_cosine_topk_lsh": embedding_cosine_topk_lsh,
         "embedding_cosine_topk_ivf": embedding_cosine_topk_ivf,
+        "ann_ivf_recall": ann_ivf_recall,
+        "bm25_topk_compressed": bm25_topk_compressed,
+        "batch_topk": batch_topk,
+        "dedup_near_groups": dedup_near_groups,
     }
 
 
@@ -448,6 +589,73 @@ shingled AS (
 sh AS (SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM shingled)
 """
 
+# MinHash signatures -> LSH bands -> candidate pair set (shared by the
+# dedup_minhash_lsh / ngram_jaccard_pairs / dedup_near_groups oracles)
+_MINHASH_CTES = f"""{_SHINGLE_CTES},
+mh AS (
+  SELECT doc_id, p.perm,
+         min(('0x' || substr(md5(CAST(p.perm AS VARCHAR) || ':' || sh), 1, 8))::BIGINT) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS perm) p
+  GROUP BY doc_id, p.perm
+),
+bands AS (
+  SELECT doc_id, CAST(perm // 4 AS INT) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_hash
+  FROM mh GROUP BY doc_id, CAST(perm // 4 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)"""
+
+# exact Jaccard restricted to the LSH candidate pairs (threshold 0.8)
+_JACCARD_ON_CAND_CTES = f"""{_MINHASH_CTES},
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         n_common / (sa.n_sh + sb.n_sh - n_common) AS j_raw
+  FROM common c
+  JOIN cand ON cand.doc_a = c.doc_a AND cand.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+)"""
+
+# 64-bit SimHash per doc (two 32-bit md5-prefix hashes -> sign-sum bits);
+# the hi word is wrapped to signed 32-bit BEFORE the *2^32 so the value
+# matches Spark's shiftleft wraparound, and bit 63 is added as the signed
+# minimum (DuckDB refuses 1<<63 where Java wraps)
+_SIMHASH_CTES = f"""{_SHINGLE_CTES},
+hashed AS (
+  SELECT doc_id,
+         (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+           * 4294967296 + lo AS h
+  FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5('hi' || ':' || sh), 1, 8))::BIGINT AS hi,
+           ('0x' || substr(md5('lo' || ':' || sh), 1, 8))::BIGINT AS lo
+    FROM sh
+  )
+),
+bits AS (
+  SELECT doc_id, b.bit, ((h >> b.bit) & 1) * 2 - 1 AS sign
+  FROM hashed CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+),
+bitsums AS (SELECT doc_id, bit, sum(sign) AS s FROM bits GROUP BY 1, 2),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN
+                    CASE WHEN bit = 63 THEN -9223372036854775808
+                         ELSE 1::BIGINT << bit END
+                  ELSE 0 END) AS BIGINT) AS simhash
+  FROM bitsums GROUP BY doc_id
+)"""
+
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
@@ -542,37 +750,50 @@ FROM base GROUP BY 1 HAVING count(*) > 1
 """
 
     sql["dedup_minhash_lsh"] = f"""
-WITH {_SHINGLE_CTES},
-mh AS (
-  SELECT doc_id, p.perm,
-         min(('0x' || substr(md5(CAST(p.perm AS VARCHAR) || ':' || sh), 1, 8))::BIGINT) AS minhash
-  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS perm) p
-  GROUP BY doc_id, p.perm
-),
-bands AS (
-  SELECT doc_id, CAST(perm // 4 AS INT) AS band,
-         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_hash
-  FROM mh GROUP BY doc_id, CAST(perm // 4 AS INT)
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+WITH {_MINHASH_CTES}
+SELECT doc_a, doc_b FROM cand
 """
 
     sql["ngram_jaccard_pairs"] = f"""
-WITH {_SHINGLE_CTES},
-sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+WITH {_JACCARD_ON_CAND_CTES}
+SELECT doc_a, doc_b, round(j_raw, 6) AS jaccard
+FROM jac WHERE j_raw >= 0.8
+"""
+
+    sql["dedup_near_groups"] = f"""
+WITH RECURSIVE {_JACCARD_ON_CAND_CTES},
+ver AS (SELECT doc_a, doc_b FROM jac WHERE j_raw >= 0.8),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM ver
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM ver
+),
+reach(doc, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.doc
 )
-SELECT doc_a, doc_b,
-       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-FROM common
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+SELECT doc AS doc_id, min(r) AS group_id, doc = min(r) AS keep
+FROM reach GROUP BY doc
+"""
+
+    sql["simhash_fingerprints"] = f"""
+WITH {_SIMHASH_CTES}
+SELECT doc_id, simhash FROM sim
+"""
+
+    sql["simhash_near_pairs"] = f"""
+WITH {_SIMHASH_CTES},
+banded AS (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> (b.band * 16)) & 65535 AS band_val
+  FROM sim CROSS JOIN (SELECT unnest(range(4)) AS band) b
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
     ws_count = (
@@ -632,6 +853,116 @@ FROM l
 WITH {_BASE_CTES}
 SELECT doc_id, sha256({_CLEAN}) AS fingerprint
 FROM base
+"""
+
+    # identical SQL as the raw-index disjunctive query: the compressed
+    # index must produce the same results bit-for-bit
+    sql["bm25_topk_compressed"] = _topk_sql(Q_DISJ)
+
+    sql["batch_topk"] = "\nUNION ALL\n".join(
+        f"SELECT '{qid}' AS query_id, * FROM ({_topk_sql(text)})"
+        for qid, text in BATCH_QUERIES
+    )
+
+    sql["multimodal_features"] = f"""
+WITH {_BASE_CTES}
+SELECT doc_id, 'image' AS media_type,
+       CAST(octet_length(encode(content)) AS BIGINT) AS n_bytes,
+       sha256(content) AS payload_sha,
+       CAST(8 AS INT) AS feature_dim
+FROM base
+"""
+
+    # probe-all IVF == exact brute force (same SQL as embedding_cosine_topk)
+    sql["embedding_cosine_topk_ivf"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id,
+         unnest(e.embedding)::DOUBLE AS x,
+         unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+),
+cos AS (
+  SELECT vec_id,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+  FROM pairs GROUP BY vec_id
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, round(c, 6) AS cosine
+FROM cos
+ORDER BY round(c, 6) DESC, vec_id
+LIMIT 10
+"""
+
+    # deterministic given the seeded k-means build on fixed data: the
+    # n_probe=4/8 partition-pruned probe recovers >= 7 of the exact top-10
+    sql["ann_ivf_recall"] = """
+SELECT CAST(10 AS BIGINT) AS k, CAST(4 AS BIGINT) AS n_probe,
+       CAST(8 AS BIGINT) AS n_lists, true AS recall_ok
+"""
+
+    # FULL reproduction of the banded-LSH ANN in SQL: hyperplanes are
+    # embedded as literals (seeded -> reproducible), signatures via
+    # list_inner_product, pigeonhole band probe, Hamming filter, exact
+    # cosine on survivors — every stage of ann_build_lsh/ann_query_lsh
+    # is recomputed independently by DuckDB
+    import numpy as _np
+
+    _planes = SIM.hyperplanes(ANN_DIM, ANN_PLANES, ANN_SEED)
+    _plane_rows = ",\n".join(
+        "(" + str(i) + ", ["
+        + ", ".join(repr(float(x)) for x in p)
+        + "]::DOUBLE[])"
+        for i, p in enumerate(_np.asarray(_planes))
+    )
+    _band_bits = ANN_PLANES // ANN_BANDS
+    _band_mask = (1 << _band_bits) - 1
+    _band_probe = " OR ".join(
+        f"((s.sig >> {b * _band_bits}) & {_band_mask}) = "
+        f"((qs.qsig >> {b * _band_bits}) & {_band_mask})"
+        for b in range(ANN_BANDS)
+    )
+    sql["embedding_cosine_topk_lsh"] = f"""
+WITH planes AS (SELECT * FROM (VALUES
+{_plane_rows}
+) v(i, w)),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qsig_t AS (
+  SELECT CAST(sum(CASE WHEN list_inner_product(q.qv::DOUBLE[], p.w) > 0
+                  THEN 1::BIGINT << p.i ELSE 0 END) AS BIGINT) AS qsig
+  FROM q CROSS JOIN planes p
+),
+sigs AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], p.w) > 0
+                  THEN 1::BIGINT << p.i ELSE 0 END) AS BIGINT) AS sig
+  FROM embeddings e CROSS JOIN planes p
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id
+),
+probed AS (
+  SELECT s.vec_id
+  FROM sigs s CROSS JOIN qsig_t qs
+  WHERE ({_band_probe})
+    AND bit_count(xor(s.sig, qs.qsig)) <= {ANN_MAX_HAMMING}
+),
+pairs AS (
+  SELECT e.vec_id,
+         unnest(e.embedding)::DOUBLE AS x,
+         unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e
+  JOIN probed pr ON pr.vec_id = e.vec_id
+  CROSS JOIN q
+),
+cos AS (
+  SELECT vec_id,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+  FROM pairs GROUP BY vec_id
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, round(c, 6) AS cosine
+FROM cos
+ORDER BY round(c, 6) DESC, vec_id
+LIMIT 10
 """
 
     sql["embedding_cosine_topk"] = """

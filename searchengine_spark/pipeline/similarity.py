@@ -3,16 +3,32 @@
 * brute-force cosine top-k — the exact baseline: JVM-side zip_with dot
   products, TakeOrderedAndProject top-k. O(N) per query but fully
   shuffle-free (map + top-k), so it scales linearly with executors.
-* LSH-bucketed variant (random hyperplane signatures) — the scale path:
-  probe only the buckets whose signature is within ``max_hamming`` of the
-  query signature, i.e. a tunable recall/cost dial. Hyperplanes are
-  deterministic (seeded), so signatures are reproducible.
+* MATERIALIZED ANN indexes — the scale path, mirroring the text index's
+  term_bucket story: signatures / list assignments are computed ONCE at
+  build time (numpy matmul in an Arrow-batched pandas UDF) and written
+  as parquet PARTITIONED by the probe key, so a query is a partition-
+  pruned read of a few directories, never a full scan:
+    - IVF (``ann_build_ivf`` / ``ann_query_ivf``): k-means coarse lists,
+      partitioned by list_id; probe = n_probe closest lists.
+    - banded hyperplane LSH (``ann_build_lsh`` / ``ann_query_lsh``): the
+      n-bit signature is split into B bands and each vector is stored
+      once per band, partitioned by (band, band_val); by pigeonhole, any
+      vector within Hamming distance B-1 of the query signature matches
+      the query's value in at least one band — probing the B matching
+      partitions guarantees recall of that Hamming ball.
+  Hyperplanes/centroids are seeded, so builds are reproducible.
+* in-line LSH/IVF variants (no stored index) remain for one-shot use.
 """
 
 from __future__ import annotations
 
+import json
+import os
+from typing import Iterator
+
 import numpy as np
-from pyspark.sql import DataFrame
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -104,6 +120,200 @@ def lsh_cosine_topk(
         .select(F.col(id_col).alias("vec_id"), F.round(cos, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
+    )
+
+
+def _cosine_expr(vec_col, query_vec: list[float]):
+    """Shared exact-cosine Column (zero-norm rows rank last, ANSI-safe)."""
+    q = F.lit([float(x) for x in query_vec])
+    return F.coalesce(
+        F.nanvl(
+            F.try_divide(_dot(vec_col, q), _norm(vec_col) * _norm(q)),
+            F.lit(-2.0),
+        ),
+        F.lit(-2.0),
+    )
+
+
+def with_rp_signatures(
+    vectors: DataFrame,
+    planes: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec) -> (id, vec, sig): random-hyperplane signature via ONE
+    numpy matmul per Arrow batch (build-time cost; replaces the 16
+    interpreted HOF aggregates the inline variant pays per row at query
+    time). bit i of sig is set when dot(vec, plane_i) > 0."""
+    n_planes = planes.shape[0]
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    pl = planes.astype(np.float64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            sig = ((mat @ pl.T) > 0).astype(np.int64) @ weights
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: list(pdf[vec_col]),
+                    "sig": sig,
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, {vec_col} array<float>, sig long"
+    )
+
+
+def ann_build_lsh(
+    vectors: DataFrame,
+    out_dir: str,
+    dim: int,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Materialize a banded-LSH ANN index: each vector is written once
+    per band, hive-partitioned by (band, band_val) — bands * 2^(n/B)
+    directories. A query probes exactly ``bands`` partitions (its own
+    band values), which by pigeonhole contains every vector within
+    Hamming distance bands-1 of the query signature."""
+    assert n_planes % bands == 0
+    band_bits = n_planes // bands
+    mask = (1 << band_bits) - 1
+    planes = hyperplanes(dim, n_planes, seed)
+    signed = with_rp_signatures(vectors, planes, id_col, vec_col)
+    exploded = signed.select(
+        id_col,
+        vec_col,
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftright(sig, band * {band_bits}) & {mask}"),
+    )
+    (
+        exploded.write.mode("overwrite")
+        .partitionBy("band", "band_val")
+        .parquet(os.path.join(out_dir, "vectors"))
+    )
+    meta = {
+        "method": "lsh",
+        "dim": dim,
+        "n_planes": n_planes,
+        "bands": bands,
+        "seed": seed,
+        "planes": planes.tolist(),
+    }
+    with open(os.path.join(out_dir, "ann_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def ann_query_lsh(
+    spark: SparkSession,
+    out_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    max_hamming: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Partition-pruned ANN probe: read only the ``bands`` (band,
+    band_val) partitions matching the query signature, drop the per-band
+    duplicates, Hamming-filter on the STORED signature (one xor +
+    bit_count per row — no per-row hyperplane math), exact cosine on the
+    survivors. Guaranteed to contain every vector within Hamming
+    distance bands-1; ``max_hamming`` defaults to that radius."""
+    with open(os.path.join(out_dir, "ann_meta.json")) as f:
+        meta = json.load(f)
+    planes = np.asarray(meta["planes"])
+    bands, band_bits = meta["bands"], meta["n_planes"] // meta["bands"]
+    if max_hamming is None:
+        max_hamming = bands - 1
+    qsig = int(
+        sum(
+            1 << i
+            for i, p in enumerate(planes)
+            if float(np.dot(p, query_vec)) > 0
+        )
+    )
+    probe = None
+    for b in range(bands):
+        cond = (F.col("band") == b) & (
+            F.col("band_val") == ((qsig >> (b * band_bits)) & ((1 << band_bits) - 1))
+        )
+        probe = cond if probe is None else (probe | cond)
+    df = (
+        spark.read.parquet(os.path.join(out_dir, "vectors"))
+        .filter(probe)
+        .dropDuplicates([id_col])
+        .filter(
+            F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
+        )
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(_cosine_expr(F.col(vec_col), query_vec), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_build_ivf(
+    vectors: DataFrame,
+    out_dir: str,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Materialize an IVF index: k-means assignment written partitioned
+    by list_id (so a probe reads only n_probe directories — the same
+    partition-prune story as postings' term_bucket), centroids to JSON."""
+    assigned, centroids = ivf_build(
+        vectors, n_lists=n_lists, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    (
+        assigned.select(id_col, vec_col, "list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(os.path.join(out_dir, "vectors"))
+    )
+    with open(os.path.join(out_dir, "ann_meta.json"), "w") as f:
+        json.dump(
+            {"method": "ivf", "n_lists": n_lists, "seed": seed,
+             "centroids": centroids},
+            f,
+        )
+    return centroids
+
+
+def ann_query_ivf(
+    spark: SparkSession,
+    out_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Partition-pruned IVF probe: exact cosine within the n_probe lists
+    whose centroids are closest to the query."""
+    with open(os.path.join(out_dir, "ann_meta.json")) as f:
+        meta = json.load(f)
+    df = spark.read.parquet(os.path.join(out_dir, "vectors"))
+    return ivf_cosine_topk(
+        df, meta["centroids"], query_vec, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
     )
 
 

@@ -74,3 +74,77 @@ def test_ivf_recall_and_scores(base, qvec, exact_top):
     # probing ALL lists must recover the exact answer
     full = SIM.ivf_cosine_topk(assigned, centroids, qvec, k=10, n_probe=8)
     assert [r["vec_id"] for r in full.collect()] == exact_top
+
+
+# ---------- materialized (partitioned) ANN indexes ----------
+
+
+@pytest.fixture(scope="module")
+def lsh_dir(spark, base, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ann") / "lsh")
+    SIM.ann_build_lsh(base, out, dim=64, n_planes=16, bands=4, seed=42)
+    return out
+
+
+@pytest.fixture(scope="module")
+def ivf_dir(spark, base, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ann") / "ivf")
+    SIM.ann_build_ivf(base, out, n_lists=8, seed=42)
+    return out
+
+
+def test_ann_lsh_signature_matches_inline(spark, base, lsh_dir):
+    """The numpy-matmul build signatures must equal the interpreted
+    inline HOF expression's (same hyperplanes, same bits)."""
+    planes = SIM.hyperplanes(64, 16, 42)
+    inline = {
+        r["vec_id"]: r["sig"]
+        for r in base.select(
+            "vec_id", SIM.rp_signature_expr(F.col("embedding"), planes).alias("sig")
+        ).collect()
+    }
+    stored = {
+        r["vec_id"]: r["sig"]
+        for r in spark.read.parquet(f"{lsh_dir}/vectors")
+        .select("vec_id", "sig")
+        .dropDuplicates(["vec_id"])
+        .collect()
+    }
+    assert stored == inline
+
+
+def test_ann_lsh_probe_prunes_partitions(spark, base, qvec, lsh_dir):
+    """The banded probe must (a) be a real partition prune — the plan's
+    parquet scan carries PartitionFilters on band/band_val — and (b)
+    guarantee the Hamming-(bands-1) ball by pigeonhole."""
+    q = SIM.ann_query_lsh(spark, lsh_dir, qvec, k=500, max_hamming=15)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "band" in plan
+    probed = {r["vec_id"] for r in q.collect()}
+    assert len(probed) < base.count()  # genuinely pruned
+    # pigeonhole guarantee: every vector within hamming<=3 is probed
+    planes = SIM.hyperplanes(64, 16, 42)
+    import numpy as np
+
+    qsig = sum(1 << i for i, p in enumerate(planes) if float(np.dot(p, qvec)) > 0)
+    sigs = {
+        r["vec_id"]: r["sig"]
+        for r in spark.read.parquet(f"{lsh_dir}/vectors")
+        .select("vec_id", "sig")
+        .dropDuplicates(["vec_id"])
+        .collect()
+    }
+    within = {v for v, s in sigs.items() if bin(s ^ qsig).count("1") <= 3}
+    assert within <= probed
+
+
+def test_ann_ivf_query_matches_unmaterialized(spark, base, qvec, ivf_dir):
+    """Materialized probe-all == exact; partial probe prunes partitions."""
+    exact = [r["vec_id"] for r in SIM.cosine_topk(base, qvec, k=10).collect()]
+    full = SIM.ann_query_ivf(spark, ivf_dir, qvec, k=10, n_probe=8)
+    assert [r["vec_id"] for r in full.collect()] == exact
+    part = SIM.ann_query_ivf(spark, ivf_dir, qvec, k=10, n_probe=4)
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    got = {r["vec_id"] for r in part.collect()}
+    assert len(got & set(exact)) >= 6
