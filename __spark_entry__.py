@@ -704,6 +704,8 @@ GROUP BY 1, 2
     sql["sessionize_events"] = """
 WITH marked AS (
   SELECT user_id, ts, value,
+         -- strict > : an event at exactly the gap still merges into the
+         -- session (Spark session_window merges touching windows)
          CASE WHEN epoch(ts) - lag(epoch(ts))
                    OVER (PARTITION BY user_id ORDER BY ts) > 1800
               THEN 1 ELSE 0 END AS new_sess

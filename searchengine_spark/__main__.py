@@ -1,12 +1,15 @@
 """Command-line entry points — the reference's three mains re-expressed:
 
   build   IndexBuilder.main (index build with flags)     Main.java / IndexBuilder.java:15
-  query   Main.main (single interactive-style query)     Main.java:16-62
+  query   one-shot query (scripting convenience)          Main.java:16-62
+  repl    Main.main's interactive prompt loop over ONE    Main.java:27-62
+          warm SparkSession + engine
   batch   TestPerformance.main (efficiency/effectiveness) TestPerformance.java:24
 
 Usage (spark-submit or plain python):
   python -m searchengine_spark build --input /root/testdata/sf0.01 --index /tmp/idx
   python -m searchengine_spark query --index /tmp/idx --text "spark join" --k 10
+  python -m searchengine_spark repl --index /tmp/idx
   python -m searchengine_spark batch --index /tmp/idx --queries q.tsv --mode efficiency
 """
 
@@ -61,6 +64,90 @@ def cmd_query(args) -> None:
         print(f"{r['rank']:>4}  {r['score']:>12.6f}  {r['doc_id']:>10}  {r['docno']}")
 
 
+def run_repl(engine, in_stream, out_stream) -> None:
+    """Interactive query loop mirroring the reference's Main.java:27-62
+    prompt flow (query text -> c/d -> b/t -> [m/d] -> k in {10,20,100},
+    'x' exits, empty query re-prompts) over ONE warm engine — no
+    per-query SparkSession/index-load cost, unlike the one-shot `query`
+    subcommand. Testable: streams are injected (scripted stdin in CI)."""
+
+    def say(msg: str) -> None:
+        print(msg, file=out_stream, flush=True)
+
+    def ask(message: str, *options: str) -> str | None:
+        while True:
+            say(message)
+            line = in_stream.readline()
+            if not line:
+                return None  # EOF
+            text = line.strip().lower()
+            if text in options:
+                return text
+
+    say("\n++++++++++++  SEARCH ENGINE  ++++++++++++\n")
+    while True:
+        say("\nInsert query (or press x to exit):")
+        line = in_stream.readline()
+        if not line:
+            return  # EOF behaves like exit
+        q = line.strip()
+        if not q:
+            say("Error: the query is empty. Please, retry.")
+            continue
+        if q == "x":
+            return
+        qtype = ask("Select Conjunctive (c) or Disjunctive (d)", "c", "d")
+        if qtype is None:
+            return
+        score = ask("Select scoring type between bm25 (b) and tfidf (t):", "b", "t")
+        if score is None:
+            return
+        algo = "d"
+        if qtype == "d":
+            algo = ask(
+                "Select algorithm type between Max score (m) or DAAT (d) :",
+                "m", "d",
+            )
+            if algo is None:
+                return
+        k = None
+        while k is None:
+            say("Insert number of results (10, 20 or 100):")
+            line = in_stream.readline()
+            if not line:
+                return
+            try:
+                n = int(line.strip())
+            except ValueError:
+                continue
+            if n in (10, 20, 100):
+                k = n
+        rows = engine.search(
+            q,
+            k=k,
+            mode="conjunctive" if qtype == "c" else "disjunctive",
+            scorer="bm25" if score == "b" else "tfidf",
+            algo="maxscore" if algo == "m" else "daat",
+            with_docno=True,
+        ).collect()
+        if not rows:
+            say("No results.")
+        for r in sorted(rows, key=lambda r: r["rank"]):
+            say(
+                f"{r['rank']:>4}  {r['score']:>12.6f}  {r['doc_id']:>10}  "
+                f"{r['docno']}"
+            )
+
+
+def cmd_repl(args) -> None:
+    from .query.engine import SearchEngine
+
+    spark = _spark(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    engine = SearchEngine(spark, args.index)
+    run_repl(engine, sys.stdin, sys.stdout)
+
+
 def cmd_batch(args) -> None:
     from .query.engine import SearchEngine
     from .query.trec import efficiency_report, trec_run_df, write_trec_run
@@ -106,6 +193,11 @@ def main(argv=None) -> None:
     q.add_argument("--algo", choices=["daat", "maxscore"], default="daat")
     q.add_argument("--cpus", type=int)
     q.set_defaults(fn=cmd_query)
+
+    r = sub.add_parser("repl")
+    r.add_argument("--index", required=True)
+    r.add_argument("--cpus", type=int)
+    r.set_defaults(fn=cmd_repl)
 
     t = sub.add_parser("batch")
     t.add_argument("--index", required=True)

@@ -170,18 +170,23 @@ def jaccard_on_candidates(
         .select("doc_id", F.explode(F.array_distinct("shingles")).alias("sh"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # PAIR-DIRECTED intersection: expand each candidate pair by doc_a's
+    # shingles, equi-join doc_b's on (doc_b, sh). Cost is
+    # sum over pairs of |shingles| — independent of how widely shingles
+    # are shared across the corpus, unlike a shingle self-join (which on
+    # templated corpora degenerates toward all-pairs even among the
+    # candidate docs). Pairs sharing nothing drop out (jaccard 0 —
+    # below any positive threshold anyway).
     a, b = sh.alias("a"), sh.alias("b")
     common = (
-        a.join(
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(
             b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("b.doc_id") == F.col("doc_b"))
+            & (F.col("a.sh") == F.col("b.sh")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
-        .join(cand, ["doc_a", "doc_b"], "left_semi")
     )
     return (
         common.join(
@@ -205,15 +210,19 @@ def connected_components(
     edges: DataFrame, max_iter: int = 25
 ) -> DataFrame:
     """Connected components over an undirected edge list (doc_a, doc_b)
-    by iterative min-label propagation: each node repeatedly takes the
-    minimum label among itself and its neighbours until fixpoint.
-    Converges in O(diameter) rounds; near-dup clusters are shallow
-    (dozens of rounds covers pathological chains). No GraphFrames dep.
+    by min-label propagation WITH pointer jumping: each round every node
+    takes the min label among itself and its neighbours, then jumps to
+    its label's label (path halving). Propagation alone needs
+    O(diameter) rounds — a templated-corpus near-dup chain of length
+    10^4 would blow any fixed budget; the jump makes label trees
+    collapse geometrically, so convergence is O(log diameter). No
+    GraphFrames dep.
 
-    Each round is one groupBy-min shuffle over the (small) edge set;
-    ``localCheckpoint`` cuts the growing lineage so round N's plan does
-    not replay rounds 1..N-1. Returns (doc_id, group_id) where group_id
-    is the component's minimum doc_id."""
+    Each round runs as ONE materializing action (eager
+    ``localCheckpoint`` cuts lineage so round N never replays rounds
+    1..N-1) plus a cheap aggregate on the materialized result for the
+    convergence check. Returns (doc_id, group_id) where group_id is the
+    component's minimum doc_id."""
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -230,25 +239,37 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+        propagated = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.src, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
+            F.col("label").alias("prev"),
+        )
+        # pointer jump: label <- label(label). Labels are always node ids
+        # (they start as doc_ids and only min-propagate), so the lookup
+        # join is total.
+        lookup = propagated.select(
+            F.col("doc_id").alias("l_id"), F.col("label").alias("l_label")
+        )
+        jumped = (
+            propagated.join(lookup, propagated.label == lookup.l_id)
             .select(
                 "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
+                F.least(F.col("label"), F.col("l_label")).alias("label"),
+                "prev",
             )
-            .localCheckpoint()
+            .localCheckpoint()  # ONE action materializes the round
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            jumped.agg(
+                F.sum((F.col("label") != F.col("prev")).cast("int")).alias("c")
+            ).collect()[0]["c"]
         )
-        labels = new_labels
-        if changed == 0:
+        labels = jumped.drop("prev")
+        if not changed:
             break
     return labels.select("doc_id", F.col("label").alias("group_id"))
 
@@ -270,7 +291,10 @@ def near_duplicate_groups(
     exact_duplicate_groups). Only docs in a near-dup group (>= 2 members
     after verification) are returned; absent docs are implicitly kept."""
     sigs = minhash_signatures(shingled, num_perm=num_perm)
-    cand = lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands)
+    # materialize the (tiny) candidate pair set once — downstream uses it
+    # three times (doc semi-join twice, pair join once); without this the
+    # whole MinHash pipeline would re-run per use
+    cand = lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands).localCheckpoint()
     verified = jaccard_on_candidates(shingled, cand, threshold=threshold)
     comp = connected_components(
         verified.select("doc_a", "doc_b"), max_iter=max_iter

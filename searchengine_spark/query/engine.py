@@ -331,6 +331,14 @@ class SearchEngine:
     # candidate sides whose essential dfs sum below this are broadcast in
     # the semi join (doc_ids only: ~8 B/row -> <= ~16 MB broadcast)
     BROADCAST_CANDIDATE_DF = 2_000_000
+    # engage the candidate semi-join only when the essential lists are at
+    # most this fraction of the query's total postings: the join stage
+    # costs a scan + exchange, so weak pruning (most docs candidates
+    # anyway) would pay more than it saves — in that regime MaxScore
+    # degrades to DAAT + the theta pre-filter, which is free. The same
+    # cost logic is implicit in the reference: its non-essential skipping
+    # only wins when upper bounds actually exclude lists.
+    PRUNE_RATIO = 0.5
 
     def _maxscore(self, terms, stats, scorer: str, k: int) -> DataFrame:
         ub_key = "max_bm25" if scorer == "bm25" else "max_tfidf"
@@ -351,11 +359,12 @@ class SearchEngine:
             essential = [ordered[-1]]
 
         scored = self._scored(terms, stats, scorer)
-        if len(essential) < len(terms):
+        ess_df = sum(stats[t]["df"] for t in essential)
+        total_df = sum(stats[t]["df"] for t in terms)
+        if len(essential) < len(terms) and ess_df <= self.PRUNE_RATIO * total_df:
             candidates = self._candidates_block_max(
                 essential, stats, scorer, theta, total_ub=cum
             )
-            ess_df = sum(stats[t]["df"] for t in essential)
             if ess_df <= self.BROADCAST_CANDIDATE_DF:
                 candidates = F.broadcast(candidates)
             scored = scored.join(candidates, "doc_id", "left_semi")

@@ -32,14 +32,14 @@ import os
 import time
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import EngineConfig
 from ..functions.text import tokenize_raw
 from ..index.builder import stem_terms
-from ..sources.corpus import NATURAL_KEY, filter_malformed, with_sha256
+from ..sources.corpus import assign_doc_ids, filter_malformed, with_sha256
 
 CORPUS_SCHEMA = T.StructType(
     [
@@ -111,11 +111,15 @@ class StreamingIndexer:
         cfg = self.config
         t0 = time.time()
         base = with_sha256(filter_malformed(batch_df))
-        w = Window.orderBy(*[F.col(c) for c in NATURAL_KEY])
+        # doc_ids continue above the high-water mark via the batch
+        # builder's two-phase range assignment (frozen boundaries,
+        # partition-parallel — no global single-task window even for a
+        # large micro-batch), offset by base_id. Deterministic for the
+        # same batch content at ANY parallelism, so checkpoint replay
+        # reassigns identical ids.
         tokenized = (
-            base.withColumn(
-                "doc_id", (F.row_number().over(w) + F.lit(base_id)).cast("long")
-            )
+            assign_doc_ids(base, two_phase=True)
+            .withColumn("doc_id", (F.col("doc_id") + F.lit(base_id)).cast("long"))
             .withColumn("tokens", tokenize_raw(F.col("content"), cfg))
             .withColumn("doc_len", F.size("tokens"))
             .persist()
@@ -194,6 +198,12 @@ class StreamingIndexer:
         out = (out_dir or os.path.join(self.index_dir, "compacted")).rstrip("/")
         seg_root = os.path.join(self.index_dir, "segments")
         doct_root = os.path.join(self.index_dir, "doctable_segments")
+        if not (os.path.isdir(seg_root) and os.path.isdir(doct_root)):
+            raise RuntimeError(
+                "compact() called before any micro-batch was processed: "
+                f"no segment directories under {self.index_dir!r} "
+                "(run the stream first, or check the input path)"
+            )
 
         tf = self.spark.read.option("basePath", seg_root).parquet(seg_root).drop(
             "batch_id"

@@ -26,7 +26,15 @@ def sessionize_batch(
 ) -> DataFrame:
     """(user_id, session_start, session_end, n_events, sum_value) —
     consecutive events of a user belong to one session while the gap to
-    the previous event is <= gap_minutes."""
+    the previous event is <= gap_minutes.
+
+    Boundary semantics match Structured Streaming's ``session_window``
+    exactly: Spark MERGES touching windows, so an event arriving at
+    precisely last_ts + gap still belongs to the same session — hence
+    strict ``>`` here (an event must arrive strictly later than the gap
+    to open a new session). Pinned empirically by
+    tests/test_sessions.py::test_exact_gap_boundary_matches_session_window.
+    """
     gap = gap_minutes * 60
     w = Window.partitionBy("user_id").orderBy("ts")
     # ts may arrive as TIMESTAMP_NTZ (no direct long cast) — go via

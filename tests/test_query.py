@@ -107,6 +107,37 @@ def test_batch_search_empty_and_unknown(engine):
     assert set(pdf["query_id"]) == {"q2"}  # all-unknown query yields no rows
 
 
+def test_repl_scripted_session(engine, oracle):
+    """Scripted-stdin drive of the REPL loop: one disjunctive bm25 DAAT
+    query, an invalid-option retry, an empty query, then exit."""
+    import io
+
+    from searchengine_spark.__main__ import run_repl
+
+    script = "\n".join(
+        [
+            "",                   # empty query -> error + retry
+            "spark table",        # query text
+            "z",                  # invalid type -> re-prompt
+            "d",                  # disjunctive
+            "b",                  # bm25
+            "d",                  # DAAT
+            "7",                  # invalid k -> re-prompt
+            "10",                 # k
+            "x",                  # exit
+        ]
+    ) + "\n"
+    out = io.StringIO()
+    run_repl(engine, io.StringIO(script), out)
+    text = out.getvalue()
+    assert "SEARCH ENGINE" in text
+    assert "query is empty" in text
+    want = oracle.search("spark table", k=10)
+    # every result row printed with rank, score, doc_id
+    for rank, (doc_id, score) in enumerate(want, start=1):
+        assert f"{rank:>4}  {score:>12.6f}  {doc_id:>10}" in text
+
+
 def test_maxscore_theta_is_metadata_only_lower_bound(engine, oracle):
     """theta from per-block maxima must lower-bound the k-th true score
     (exactness of the MaxScore pre-filter) and be > 0 for a hot term."""

@@ -37,6 +37,75 @@ def test_batch_sessions_properties(events):
             assert gap > 30 * 60, (user, a, b)
 
 
+def test_exact_gap_boundary_matches_session_window(spark, tmp_path):
+    """An event at EXACTLY the gap after the previous one MERGES into the
+    session in BOTH implementations — Spark's session_window merges
+    touching windows, and sessionize_batch's strict > matches. An event
+    1s past the gap opens a new session."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: second event exactly 30min later -> still ONE session
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(minutes=30), 2.0),
+        # user 3: second event 30min 1s later -> TWO sessions
+        (3, t0, 1.0),
+        (3, t0 + dt.timedelta(minutes=30, seconds=1), 2.0),
+        # user 2: second event 29:59 later -> ONE session
+        (2, t0, 1.0),
+        (2, t0 + dt.timedelta(minutes=29, seconds=59), 2.0),
+        # watermark flush: a much later event so append mode finalizes
+        # the sessions above before availableNow terminates
+        (99, t0 + dt.timedelta(hours=10), 0.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    batch = sessionize_batch(ev, gap_minutes=30)
+    counts = {
+        r["user_id"]: r["n"]
+        for r in batch.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {1: 1, 2: 1, 3: 2, 99: 1}
+
+    # streaming ground truth on the same rows
+    input_dir = str(tmp_path / "in_gap")
+    ev.coalesce(1).write.parquet(input_dir)
+    q = (
+        sessionize_stream(
+            stream_events(spark, input_dir, 1), gap_minutes=30,
+            watermark_minutes=60,
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gap_sessions")
+        .option("checkpointLocation", str(tmp_path / "ck_gap"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # append mode only finalizes sessions the watermark passed; compare
+    # the finalized subset against batch rows keyed identically
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("gap_sessions").collect()
+    }
+    batch_keys = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert streamed <= batch_keys
+    # user 1's exact-gap pair merged into ONE finalized session; user 3's
+    # gap+1s pair split into two
+    assert (1, t0, t0 + dt.timedelta(minutes=30), 2) in streamed
+    assert (3, t0, t0, 1) in streamed
+    assert (
+        3,
+        t0 + dt.timedelta(minutes=30, seconds=1),
+        t0 + dt.timedelta(minutes=30, seconds=1),
+        1,
+    ) in streamed
+
+
 def test_stream_sessions_match_batch(spark, events, tmp_path):
     input_dir = str(tmp_path / "in")
     out_dir = str(tmp_path / "out")

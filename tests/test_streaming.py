@@ -91,11 +91,13 @@ def test_batch_replay_is_idempotent(spark, streamed_index, corpus):
         .orderBy("doc_id")
         .collect()
     )
-    # reconstruct batch 0's exact input rows from its doctable slice
+    # reconstruct batch 0's exact input rows from its doctable slice —
+    # REPARTITIONED differently than the original micro-batch, pinning
+    # that two-phase doc_id assignment is parallelism-independent
     keys = spark.read.parquet(f"{idx_dir}/doctable_segments/batch_id=0").select(
         "repo", "path", "commit"
     )
-    replay_input = corpus.join(keys, ["repo", "path", "commit"])
+    replay_input = corpus.join(keys, ["repo", "path", "commit"]).repartition(7)
     indexer.process_batch(replay_input, 0)
 
     state_after = indexer._load_state()
@@ -111,3 +113,9 @@ def test_batch_replay_is_idempotent(spark, streamed_index, corpus):
         .collect()
     )
     assert seg_after == seg_before
+
+
+def test_compact_before_any_batch_raises(spark, tmp_path):
+    indexer = StreamingIndexer(spark, str(tmp_path / "empty_idx"), TEST_CONFIG)
+    with pytest.raises(RuntimeError, match="no segment directories"):
+        indexer.compact()
