@@ -94,6 +94,34 @@ def _engine(
             + hashlib.md5(key[0].encode()).hexdigest()[:12]
             + suffix
         )
+        if compressed:
+            # the compressed index differs from the raw one ONLY in the
+            # postings stage (VByte/Unary blocks): seed its build dir with
+            # the raw index's doctable/tf/stats/lexicon checkpoints and let
+            # the resumable builder rebuild just the postings — exactly the
+            # per-stage resume path the north_rule asks for, exercised here
+            # across a config change.
+            raw = _engine(spark, sf_dir, compressed=False).index_dir
+            if not os.path.exists(os.path.join(idx, "manifest.json")):
+                import json as _json
+                import shutil as _shutil
+
+                os.makedirs(idx, exist_ok=True)
+                for stage in ("doctable", "tf", "lexicon"):
+                    _shutil.copytree(
+                        os.path.join(raw, stage),
+                        os.path.join(idx, stage),
+                        dirs_exist_ok=True,
+                    )
+                _shutil.copy(
+                    os.path.join(raw, "stats.json"),
+                    os.path.join(idx, "stats.json"),
+                )
+                with open(os.path.join(raw, "manifest.json")) as f:
+                    man = _json.load(f)
+                man["stages"].pop("postings", None)
+                with open(os.path.join(idx, "manifest.json"), "w") as f:
+                    _json.dump(man, f)
         build_index(
             spark,
             load_documents_as_corpus(spark, sf_dir),

@@ -150,7 +150,12 @@ def cmd_repl(args) -> None:
 
 def cmd_batch(args) -> None:
     from .query.engine import SearchEngine
-    from .query.trec import efficiency_report, trec_run_df, write_trec_run
+    from .query.trec import (
+        batch_efficiency_report,
+        efficiency_report,
+        trec_run_df,
+        write_trec_run,
+    )
 
     spark = _spark(args.cpus)
     engine = SearchEngine(spark, args.index)
@@ -164,6 +169,10 @@ def cmd_batch(args) -> None:
             queries.append((qid, text))
     if args.mode == "efficiency":
         print(json.dumps(efficiency_report(engine, queries, k=args.k, algo=args.algo)))
+    elif args.mode == "throughput":
+        print(json.dumps(
+            batch_efficiency_report(engine, queries, k=args.k, algo=args.algo)
+        ))
     else:
         run = trec_run_df(engine, queries, k=args.k, algo=args.algo)
         write_trec_run(run, args.out)
@@ -202,7 +211,13 @@ def main(argv=None) -> None:
     t = sub.add_parser("batch")
     t.add_argument("--index", required=True)
     t.add_argument("--queries", required=True, help="TSV: qid\\ttext")
-    t.add_argument("--mode", choices=["efficiency", "effectiveness"], default="efficiency")
+    t.add_argument(
+        "--mode",
+        choices=["efficiency", "throughput", "effectiveness"],
+        default="efficiency",
+        help="efficiency: serial per-query latency; throughput: one-job "
+        "amortized batch; effectiveness: TREC run file",
+    )
     t.add_argument("--k", type=int, default=10)
     t.add_argument("--algo", choices=["daat", "maxscore"], default="daat")
     t.add_argument("--out", default="run.txt")
