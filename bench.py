@@ -95,6 +95,34 @@ def main() -> None:
 
     engine = SearchEngine(spark, idx_dir)
 
+    # representative build throughput: the 5k-doc build above is fixed-
+    # cost dominated (5 stages x ~1-2s each), so docs/sec there says
+    # nothing about the pipeline — expand the corpus 20x (distinct paths,
+    # unchanged content, multi-file parquet like a real ingest) and time
+    # that build. Comparable to BASELINE.md's reference docs/sec.
+    big_src = f"/tmp/se_bench_big_{os.path.basename(SF_DIR.rstrip('/'))}"
+    if not os.path.exists(os.path.join(big_src, "_SUCCESS")):
+        reps = spark.range(20).select(F.col("id").cast("string").alias("_rep"))
+        (
+            corpus.crossJoin(F.broadcast(reps))
+            .select(
+                "repo",
+                F.concat(F.lit("r"), "_rep", F.lit("/"), "path").alias("path"),
+                "commit", "lang", "content",
+            )
+            .repartition(CPUS)
+            .write.mode("overwrite")
+            .parquet(big_src)
+        )
+    big = spark.read.parquet(big_src)
+    n_big = big.count()
+    idx_big = idx_dir + "_big"
+    shutil.rmtree(idx_big, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, big, idx_big, cfg, resume=False)
+    big_sec = time.time() - t0
+    timings["index_build_100k"] = round(big_sec, 3)
+
     # --- query latency: BM25 k=10 over a query set; p50 reported ---
     queries = [
         "spark table join fast",
@@ -197,6 +225,8 @@ def main() -> None:
         "sf": sf,
         "n_docs": n_docs,
         "build_docs_per_sec": round(n_docs / build_sec, 1),
+        "n_docs_big": n_big,
+        "build_docs_per_sec_100k": round(n_big / big_sec, 1),
         "cpus": CPUS,
     }))
     spark.stop()

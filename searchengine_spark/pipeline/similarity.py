@@ -99,10 +99,15 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate cosine top-k: filter to vectors whose hyperplane
-    signature is within ``max_hamming`` bits of the query's, then exact
-    cosine on the survivors. At cluster scale the signature is a stored,
-    bucketed column — the filter becomes partition pruning."""
+    """One-shot approximate cosine top-k: compute hyperplane signatures
+    inline (16 interpreted HOF aggregates per row!), Hamming-filter, then
+    exact cosine on survivors. This variant SCANS THE FULL TABLE and does
+    strictly more per-row work than brute force — it exists only for
+    ad-hoc use on small frames with no index on disk. For anything
+    repeated or large, build the materialized index once
+    (:func:`ann_build_lsh`) and probe it (:func:`ann_query_lsh`):
+    signatures become a stored column computed by one numpy matmul, and
+    the probe is a ``bands``-partition pruned read."""
     planes = hyperplanes(len(query_vec), n_planes, seed)
     qsig = int(
         sum(1 << i for i, p in enumerate(planes) if float(np.dot(p, query_vec)) > 0)
@@ -353,7 +358,10 @@ def ivf_cosine_topk(
     """Approximate cosine top-k over an IVF index: probe only the
     ``n_probe`` lists whose centroids are closest to the query (by
     cosine), exact cosine within them. The list filter is a partition
-    prune when ``assigned`` is stored partitioned by list_id."""
+    prune ONLY when ``assigned`` is stored partitioned by list_id —
+    which is what :func:`ann_build_ivf` does; prefer
+    ann_build_ivf/ann_query_ivf over calling this on an unpartitioned
+    frame (where the isin filter still scans everything)."""
     q = np.asarray(query_vec, dtype=float)
     qn = np.linalg.norm(q)
     sims = [

@@ -54,6 +54,19 @@ def load_documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def load_table_corpus(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog-table source for the canonical corpus — `spark.read.table`
+    resolves through whatever catalog the session is configured with
+    (an Iceberg catalog on a real cluster per BASELINE.json input_hint;
+    this sandbox ships no Iceberg runtime, so tests exercise the path
+    via a temp view — the projection and downstream pipeline are
+    identical either way). Catalyst pushes the malformed-row filter and
+    the 5-column projection into the table scan, and Iceberg partition
+    pruning/metadata filtering compose with it for free."""
+    t = spark.read.table(table)
+    return t.select("repo", "path", "commit", "lang", "content")
+
+
 def filter_malformed(corpus: DataFrame) -> DataFrame:
     """Drop null/empty-content rows — the reference skips blank lines and
     lines without a tab (PartialIndexBuilder.java:51-53)."""

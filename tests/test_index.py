@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from searchengine_spark.config import EngineConfig
 from searchengine_spark.functions.text import tokenize_doc_py
 from searchengine_spark.index.builder import build_index, term_bucket_py
-from searchengine_spark.sources.corpus import assign_doc_ids
+from searchengine_spark.sources.corpus import assign_doc_ids, load_table_corpus
 
 from .conftest import TEST_CONFIG
 
@@ -34,6 +34,17 @@ def test_doc_ids_dense_and_ordered(doctable):
     # ordered by natural key
     sorted_by_key = doctable.sort_values(["repo", "path", "commit"])
     assert sorted_by_key["doc_id"].tolist() == ids
+
+
+def test_table_source_matches_parquet_source(spark, corpus):
+    """Catalog-table source (spark.read.table — the Iceberg entry point
+    on a real cluster) must yield the identical canonical frame; the
+    sandbox exercises it via a temp view over the same rows."""
+    corpus.createOrReplaceTempView("corpus_tbl")
+    via_table = load_table_corpus(spark, "corpus_tbl")
+    assert via_table.schema == corpus.schema
+    assert via_table.exceptAll(corpus).count() == 0
+    assert corpus.exceptAll(via_table).count() == 0
 
 
 def test_two_phase_matches_global_window(spark, corpus):

@@ -80,6 +80,24 @@ def test_png_all_filter_types_decode(ftype):
     assert np.array_equal(MM.png_decode(payload), img)
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    c=st.integers(1, 4),
+    seed=st.integers(0, 2**31),
+)
+def test_png_roundtrip_property(h, w, c, seed):
+    img = _rand_img(h, w, c, seed)
+    out = MM.png_decode(MM.png_encode(img))
+    want = img[:, :, None] if img.ndim == 2 else img
+    assert np.array_equal(out, want)
+
+
 def test_png_decode_rejects_non_png():
     with pytest.raises(ValueError, match="not a PNG"):
         MM.png_decode(b"plainly not an image")
