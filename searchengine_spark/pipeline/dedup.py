@@ -64,7 +64,12 @@ def minhash_signatures(
 
     One narrow row per (doc, permutation); min-aggregated per key. The
     explode keeps rows small and the agg partial — no giant signature
-    arrays shuffle around until the final collect per doc."""
+    arrays shuffle around until the final collect per doc.
+
+    Measured (r2): a wide 16-column ``min`` aggregate (no perm explode,
+    16x fewer shuffle rows) is 2x SLOWER than this explode form at sf0.1
+    — the md5 evaluation dominates and the wide projection defeats
+    whatever sharing the narrow pipeline gets. Keep the explode."""
     return (
         shingled.select(
             "doc_id", F.explode(F.array_distinct("shingles")).alias("sh")

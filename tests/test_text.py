@@ -58,6 +58,10 @@ def test_spark_matches_python(spark):
     raws = [r for r, _ in FIXTURES] + [
         "MiXeD CaSe TEXT", "a.b,c;d:e!f?g", "x" * 50,
         "http://a.b c https://d.e/f g",
+        # astral-plane chars: Java regex sees surrogate pairs, Python a
+        # single code point — the fused T4+T5 class must agree anyway
+        # (both collapse to spaces before tokenize)
+        "emoji \U0001F600 mid\U0001F680dle end\U0001F4A9",
     ]
     for cfg in (NO_STEM, SW_ONLY, FULL):
         df = spark.createDataFrame(pd.DataFrame({"content": raws}))
