@@ -52,6 +52,18 @@ def test_compressed_index_same_results(spark, engine, compressed_dir):
         assert _results(engine, q) == _results(ce, q), q
 
 
+def test_compressed_batch_and_maxscore_paths(spark, engine, compressed_dir):
+    """The codec decode path must also back the batch join (doctable
+    re-join for doc_len) and MaxScore's block-pruned candidate scan."""
+    ce = SearchEngine(spark, compressed_dir)
+    qs = [(f"q{i}", q) for i, q in enumerate(QUERIES[:3])]
+    raw = engine.batch_search(qs, k=10).orderBy("query_id", "rank").collect()
+    comp = ce.batch_search(qs, k=10).orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in raw] == [tuple(r) for r in comp]
+    for q in QUERIES[:3]:
+        assert _results(engine, q) == _results(ce, q, algo="maxscore"), q
+
+
 @pytest.fixture(scope="module")
 def count_mode_dir(spark, corpus, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("idxb") / "idx")
