@@ -370,6 +370,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vec_id").cast("long").alias("vec_id"), "cosine"
         )
 
+    def embedding_near_pairs(spark, sf):
+        # vector-space dedup: banded-LSH candidates -> exact cosine >= t
+        emb = spark.read.parquet(f"{sf.rstrip('/')}/embeddings.parquet")
+        return SIM.embedding_near_dup_pairs(
+            emb, dim=ANN_DIM, threshold=0.4, n_planes=ANN_PLANES,
+            bands=ANN_BANDS, seed=ANN_SEED,
+        ).select(
+            F.col("vec_a").cast("long"),
+            F.col("vec_b").cast("long"),
+            "cosine",
+        )
+
+    def bpe_token_estimate(spark, sf):
+        return TS.with_bpe_token_estimate(_corpus(spark, sf)).select(
+            "doc_id", "n_pieces", "est_bpe_tokens"
+        )
+
     def bm25_topk_compressed(spark, sf):
         # VByte/Unary-compressed index, same oracle SQL as the raw path:
         # results must be identical (C1/C2/S6 + _decode_blocks under oracle)
@@ -485,6 +502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lang_id,
         "fingerprint": fingerprint,
         "embedding_cosine_topk": embedding_cosine_topk,
+        "embedding_near_pairs": embedding_near_pairs,
+        "bpe_token_estimate": bpe_token_estimate,
         "simhash_fingerprints": simhash_fingerprints,
         "simhash_near_pairs": simhash_near_pairs,
         "multimodal_features": multimodal_features,
@@ -993,6 +1012,59 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id, round(c, 6) AS cosine
 FROM cos
 ORDER BY round(c, 6) DESC, vec_id
 LIMIT 10
+"""
+
+    # vector-space near-dup: same literal hyperplanes; banded self-join
+    # candidates; exact cosine via list_inner_product; round-then-filter
+    # ordering matches the Spark operator exactly
+    sql["embedding_near_pairs"] = f"""
+WITH planes AS (SELECT * FROM (VALUES
+{_plane_rows}
+) v(i, w)),
+sigs AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], p.w) > 0
+                  THEN 1::BIGINT << p.i ELSE 0 END) AS BIGINT) AS sig
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id
+),
+banded AS (
+  SELECT vec_id, b.band,
+         (sig >> (b.band * {_band_bits})) & {_band_mask} AS band_val
+  FROM sigs CROSS JOIN (SELECT unnest(range({ANN_BANDS})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.vec_a, c.vec_b,
+         round(list_inner_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+               / (sqrt(list_inner_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+                  * sqrt(list_inner_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
+               6) AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b
+)
+SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b, cosine
+FROM scored WHERE cosine >= 0.4
+"""
+
+    sql["bpe_token_estimate"] = f"""
+WITH {_BASE_CTES},
+p AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(content), '[a-z]+|[0-9]+|[^a-z0-9\\s]+') AS pieces
+  FROM base
+)
+SELECT doc_id,
+       CAST(len(pieces) AS BIGINT) AS n_pieces,
+       CAST(coalesce(
+         list_sum(list_transform(pieces, t -> CAST(ceil(len(t) / 4.0) AS BIGINT))),
+         0) AS BIGINT) AS est_bpe_tokens
+FROM p
 """
 
     sql["embedding_cosine_topk"] = """

@@ -273,6 +273,73 @@ def ann_query_lsh(
     )
 
 
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS — the vector-space member of
+    the dedup family (exact sha / MinHash-LSH / SimHash / n-gram Jaccard
+    / THIS): hyperplane signatures (one numpy matmul), banded self-join
+    on (band, band_val) for candidates — never an all-pairs cross join —
+    then exact cosine on candidates only. Returns (vec_a, vec_b, cosine)
+    with cosine >= threshold, vec_a < vec_b.
+
+    Recall is the banding curve (a pair at angle θ collides in some band
+    with prob 1-(1-(1-θ/π)^(n/B))^B); raise bands or n_planes for
+    near-identical-duplicate workloads where θ ≈ 0 makes collision
+    near-certain. Feed the output to
+    :func:`searchengine_spark.pipeline.dedup.connected_components` for a
+    keep/drop verdict, exactly like the text near-dup path."""
+    assert n_planes % bands == 0
+    band_bits = n_planes // bands
+    mask = (1 << band_bits) - 1
+    planes = hyperplanes(dim, n_planes, seed)
+    signed = with_rp_signatures(vectors, planes, id_col, vec_col)
+    banded = signed.select(
+        id_col,
+        vec_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "sig",
+    ).withColumn("band_val", F.expr(f"shiftright(sig, band * {band_bits}) & {mask}"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = F.coalesce(
+        F.nanvl(
+            F.try_divide(
+                _dot(F.col("_va"), F.col("_vb")),
+                _norm(F.col("_va")) * _norm(F.col("_vb")),
+            ),
+            F.lit(-2.0),
+        ),
+        F.lit(-2.0),
+    )
+    return (
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def ann_build_ivf(
     vectors: DataFrame,
     out_dir: str,

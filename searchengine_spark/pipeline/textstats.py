@@ -44,6 +44,44 @@ def with_token_stats(docs: DataFrame, content_col: str = "content") -> DataFrame
     )
 
 
+# BPE-ish pre-tokenization split over lowercased text: letter runs,
+# digit runs, punctuation/symbol runs (whitespace separates, never
+# counts). Alternatives use DISJOINT char classes so leftmost-first
+# (Java regex) and leftmost-longest (RE2/DuckDB) semantics agree — the
+# oracle depends on that.
+BPE_SPLIT_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+# ~4 chars/token for word pieces is the standard BPE rule-of-thumb;
+# digit/punct runs count 1 token per run member class below
+BPE_CHARS_PER_TOKEN = 4
+
+
+def with_bpe_token_estimate(
+    docs: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """BPE-ish token counting (the LLM-budget estimator, vs the plain
+    whitespace count of with_token_stats):
+
+      n_pieces     — matches of BPE_SPLIT_PATTERN over lower(content)
+                     (word runs, number runs, punct runs)
+      est_bpe_tokens — sum over pieces of ceil(len(piece)/4): long words
+                     split into ~4-char subwords like a real BPE would;
+                     short pieces count 1.
+
+    Pure Column expressions (regexp_extract_all + aggregate), exactly
+    reproducible in DuckDB for the oracle."""
+    c = F.lower(F.col(content_col))
+    pieces = F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0)
+    est = F.aggregate(
+        pieces,
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.ceil(F.length(p) / F.lit(float(BPE_CHARS_PER_TOKEN))).cast("long"),
+    )
+    return docs.withColumn(
+        "n_pieces", F.size(pieces).cast("long")
+    ).withColumn("est_bpe_tokens", est)
+
+
 def with_quality_score(docs: DataFrame, content_col: str = "content") -> DataFrame:
     """Heuristic quality score in [0,1] from length, punctuation density
     and stopword ratio — the standard web-corpus filtering trio:

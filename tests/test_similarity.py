@@ -138,6 +138,38 @@ def test_ann_lsh_probe_prunes_partitions(spark, base, qvec, lsh_dir):
     assert within <= probed
 
 
+def test_embedding_near_dup_pairs(spark, base):
+    """Banded candidates must (a) report EXACT cosines (subset of the
+    brute-force pair set, never fabricated), and (b) always catch true
+    duplicates — identical vectors share every band."""
+    import numpy as np
+
+    rows = base.limit(50).collect()
+    dup = spark.createDataFrame(
+        [(9001, rows[0]["embedding"]), (9002, rows[0]["embedding"])],
+        "vec_id long, embedding array<float>",
+    )
+    vecs = base.select("vec_id", "embedding").limit(50).union(dup)
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in SIM.embedding_near_dup_pairs(
+            vecs, dim=64, threshold=0.2, n_planes=16, bands=4
+        ).collect()
+    }
+    # the planted exact duplicate is always found, cosine 1.0 (and the
+    # original row pairs with both copies)
+    assert got[(9001, 9002)] == pytest.approx(1.0)
+    assert (rows[0]["vec_id"], 9001) in got
+    # every reported cosine equals the numpy value and clears threshold
+    emb = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in vecs.collect()}
+    for (a, b), c in got.items():
+        v, w = emb[a], emb[b]
+        truth = float(v @ w / (np.linalg.norm(v) * np.linalg.norm(w)))
+        assert c == pytest.approx(round(truth, 6), abs=2e-6)
+        assert c >= 0.2
+
+
 def test_ann_ivf_query_matches_unmaterialized(spark, base, qvec, ivf_dir):
     """Materialized probe-all == exact; partial probe prunes partitions."""
     exact = [r["vec_id"] for r in SIM.cosine_topk(base, qvec, k=10).collect()]
