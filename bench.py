@@ -165,6 +165,23 @@ def main() -> None:
     engine.batch_search([(f"q{i}", q) for i, q in enumerate(queries)], k=10).count()
     timings["query_batch_amortized"] = round((time.time() - t0) / len(queries), 3)
 
+    # the flat-cost claim at scale: 1000 deterministic 2-term queries in
+    # ONE job (vs 1000 job submissions serially). Per-query amortized cost
+    # should be ~100x below the serial p50.
+    top_terms = [
+        r["term"]
+        for r in engine.lexicon.orderBy(F.desc("cf"), "term")
+        .select("term").limit(1000).collect()
+    ]
+    n = len(top_terms)
+    big_qs = [
+        (f"b{i}", f"{top_terms[i % n]} {top_terms[(i * 7 + 3) % n]}")
+        for i in range(1000)
+    ]
+    t0 = time.time()
+    engine.batch_search(big_qs, k=10).count()
+    timings["query_batch_1000_amortized"] = round((time.time() - t0) / 1000, 4)
+
     def timed(name, fn):
         t0 = time.time()
         fn()

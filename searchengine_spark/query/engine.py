@@ -209,10 +209,26 @@ class SearchEngine:
                 theta = max(theta, kth)
         return theta
 
-    def _exploded_postings(self, terms: Sequence[str]) -> DataFrame:
+    # above this many distinct terms, the per-term In() predicate stops
+    # paying: planning/pushdown cost grows with the literal list while
+    # most buckets are hit anyway. Callers that re-filter by term (the
+    # batch join) then run bucket-pruned only.
+    MAX_TERM_PREDICATE = 1024
+
+    def _exploded_postings(
+        self, terms: Sequence[str], term_predicate: bool = True
+    ) -> DataFrame:
         """(term, doc_id, tf, doc_len) rows for the query terms only —
-        bucket partition pruning + term row-group pruning feed the scan."""
-        blocks = self.postings.filter(self._bucket_filter(terms))
+        bucket partition pruning + term row-group pruning feed the scan.
+        With ``term_predicate=False`` only the bucket partition filter is
+        applied (huge term sets: the caller's join does term filtering)."""
+        if term_predicate and len(terms) <= self.MAX_TERM_PREDICATE:
+            blocks = self.postings.filter(self._bucket_filter(terms))
+        else:
+            buckets = sorted(
+                {term_bucket_py(t, self.config.n_term_buckets) for t in terms}
+            )
+            blocks = self.postings.filter(F.col("term_bucket").isin(buckets))
         if self.config.compression:
             exploded = _decode_blocks(blocks)
             # compressed blocks don't carry doc_len: re-join the doctable
@@ -465,8 +481,13 @@ class SearchEngine:
             if scorer == "bm25"
             else tfidf_partial_expr(F.col("tf"))
         )
+        # the broadcast join filters by term regardless; the In() scan
+        # predicate is kept only while the term list is predicate-sized
         scored = (
-            self._exploded_postings(union_terms)
+            self._exploded_postings(
+                union_terms,
+                term_predicate=len(union_terms) <= self.MAX_TERM_PREDICATE,
+            )
             .join(F.broadcast(qterms), "term")
             .withColumn("score", partial * F.col("idf"))
         )
@@ -481,7 +502,10 @@ class SearchEngine:
         )
         if mode == "conjunctive":
             per = per.filter(F.col("n_hit") == F.col("n_q_terms"))
-        if algo == "maxscore":
+        if algo == "maxscore" and len(all_terms) <= self.MAX_TERM_PREDICATE:
+            # per-query theta pre-filters (driver block-metadata reads
+            # scale with |terms|, so huge query sets skip them — the
+            # result is exact either way)
             thetas = {
                 qid: self._theta_from_blocks(
                     [t for t in ts if t in stats], scorer, k

@@ -188,11 +188,22 @@ class StreamingIndexer:
 
     # ---------- compaction ----------
 
-    def compact(self, out_dir: Optional[str] = None) -> dict:
+    def compact(
+        self, out_dir: Optional[str] = None, latest_only: bool = False
+    ) -> dict:
         """Merge all segments into a full queryable index (lexicon +
         postings + doctable + stats) using the batch builder's stage code
         over the segment union — the streaming analogue of the k-way merge.
-        Returns the build manifest."""
+        Returns the build manifest.
+
+        ``latest_only`` gives UPSERT semantics for re-ingested files: when
+        the stream saw the same (repo, path) more than once (a new commit
+        of a file), only the latest ingest — the highest doc_id, since
+        ids are monotone in ingest order — survives into the compacted
+        index; superseded versions' doctable rows AND postings are
+        dropped, so df/cf/idf/avgdl all reflect the live corpus only.
+        The winner-selection is one max-aggregate + two broadcastable
+        semi-joins over doc_id — no read-modify-write of any segment."""
         from ..index.builder import IndexBuilder
 
         out = (out_dir or os.path.join(self.index_dir, "compacted")).rstrip("/")
@@ -213,6 +224,12 @@ class StreamingIndexer:
             .parquet(doct_root)
             .drop("batch_id")
         )
+        if latest_only:
+            winners = doct.groupBy("repo", "path").agg(
+                F.max("doc_id").alias("doc_id")
+            ).select("doc_id")
+            doct = doct.join(winners, "doc_id", "left_semi")
+            tf = tf.join(winners, "doc_id", "left_semi")
 
         builder = IndexBuilder(self.spark, out, self.config)
         manifest = {"stages": {}}

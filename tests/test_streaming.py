@@ -115,6 +115,39 @@ def test_batch_replay_is_idempotent(spark, streamed_index, corpus):
     assert seg_after == seg_before
 
 
+def test_compact_latest_only_upserts_reingested_paths(spark, tmp_path):
+    """A path re-ingested with new content (new commit) must supersede
+    its old version under latest_only compaction: one doctable row per
+    (repo, path), postings/df/stats reflecting only live versions."""
+    rows_v1 = [
+        ("r1", "a.py", "c1", "py", "alpha beta gamma"),
+        ("r1", "b.py", "c2", "py", "delta epsilon"),
+    ]
+    rows_v2 = [("r1", "a.py", "c9", "py", "omega omega omega")]
+    indexer = StreamingIndexer(spark, str(tmp_path / "ups_idx"), TEST_CONFIG)
+    schema = "repo string, path string, commit string, lang string, content string"
+    indexer.process_batch(spark.createDataFrame(rows_v1, schema), 0)
+    indexer.process_batch(spark.createDataFrame(rows_v2, schema), 1)
+
+    indexer.compact(str(tmp_path / "ups_all"), latest_only=False)
+    indexer.compact(str(tmp_path / "ups_latest"), latest_only=True)
+
+    all_doct = spark.read.parquet(str(tmp_path / "ups_all" / "doctable"))
+    latest_doct = spark.read.parquet(str(tmp_path / "ups_latest" / "doctable"))
+    assert all_doct.count() == 3
+    assert latest_doct.count() == 2
+    a_rows = latest_doct.filter(F.col("path") == "a.py").collect()
+    assert len(a_rows) == 1 and a_rows[0]["commit"] == "c9"
+
+    eng = SearchEngine(spark, str(tmp_path / "ups_latest"))
+    # v1-only terms are gone from the live index; v2 terms searchable
+    assert eng.search("alpha").count() == 0
+    hits = eng.search("omega").collect()
+    assert len(hits) == 1 and hits[0]["doc_id"] == a_rows[0]["doc_id"]
+    # stats reflect survivors only (Q-1: n_docs = live docs + 1)
+    assert eng.stats["n_docs"] == 3
+
+
 def test_compact_before_any_batch_raises(spark, tmp_path):
     indexer = StreamingIndexer(spark, str(tmp_path / "empty_idx"), TEST_CONFIG)
     with pytest.raises(RuntimeError, match="no segment directories"):
