@@ -67,6 +67,35 @@ def load_table_corpus(spark: SparkSession, table: str) -> DataFrame:
     return t.select("repo", "path", "commit", "lang", "content")
 
 
+CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def load_jsonl_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """JSONL source (one object per line — the common web-scale text-dump
+    format): reads only the five canonical fields with an EXPLICIT schema
+    (never schema inference, which would scan the data twice at 100 TB);
+    extra fields are ignored by the reader, missing ones surface as
+    nulls for filter_malformed to drop."""
+    return spark.read.schema(CORPUS_SCHEMA).json(path)
+
+
+def load_csv_corpus(
+    spark: SparkSession, path: str, sep: str = "\t", header: bool = True
+) -> DataFrame:
+    """Delimited-text source (TSV by default — the reference's own input
+    framing, PartialIndexBuilder.java:46). Explicit schema, multiline
+    off: each row must be one physical line, malformed rows become nulls
+    (PERMISSIVE) and are dropped by filter_malformed — the reference
+    skips lines without a tab the same way."""
+    return (
+        spark.read.schema(CORPUS_SCHEMA)
+        .option("sep", sep)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
 def filter_malformed(corpus: DataFrame) -> DataFrame:
     """Drop null/empty-content rows — the reference skips blank lines and
     lines without a tab (PartialIndexBuilder.java:51-53)."""

@@ -13,7 +13,12 @@ from pyspark.sql import functions as F
 from searchengine_spark.config import EngineConfig
 from searchengine_spark.functions.text import tokenize_doc_py
 from searchengine_spark.index.builder import build_index, term_bucket_py
-from searchengine_spark.sources.corpus import assign_doc_ids, load_table_corpus
+from searchengine_spark.sources.corpus import (
+    assign_doc_ids,
+    load_csv_corpus,
+    load_jsonl_corpus,
+    load_table_corpus,
+)
 
 from .conftest import TEST_CONFIG
 
@@ -45,6 +50,29 @@ def test_table_source_matches_parquet_source(spark, corpus):
     assert via_table.schema == corpus.schema
     assert via_table.exceptAll(corpus).count() == 0
     assert corpus.exceptAll(via_table).count() == 0
+
+
+def test_jsonl_and_csv_sources_roundtrip(spark, corpus, tmp_path):
+    """Writing the canonical frame as JSONL/TSV and reading it back via
+    the format sources must reproduce the same rows (explicit schema, no
+    inference)."""
+    sample = corpus.limit(50)
+    jdir = str(tmp_path / "jsonl")
+    sample.write.json(jdir)
+    got_j = load_jsonl_corpus(spark, jdir)
+    assert got_j.schema == sample.schema
+    assert got_j.exceptAll(sample).count() == 0
+    assert sample.exceptAll(got_j).count() == 0
+
+    # TSV cannot carry embedded tabs/newlines — filter to clean rows
+    import pyspark.sql.functions as SF
+
+    flat = sample.filter(~SF.col("content").rlike("[\t\n\r]")).limit(20)
+    cdir = str(tmp_path / "tsv")
+    flat.write.option("sep", "\t").option("header", "true").csv(cdir)
+    got_c = load_csv_corpus(spark, cdir)
+    assert got_c.exceptAll(flat).count() == 0
+    assert flat.exceptAll(got_c).count() == 0
 
 
 def test_two_phase_matches_global_window(spark, corpus):

@@ -148,6 +148,37 @@ def test_compact_latest_only_upserts_reingested_paths(spark, tmp_path):
     assert eng.stats["n_docs"] == 3
 
 
+def test_engine_refresh_after_inplace_compaction(spark, tmp_path):
+    """A long-lived SearchEngine over an index dir that is re-compacted
+    IN PLACE memoizes negative lexicon probes; refresh() must drop them
+    so newly indexed terms become searchable (ADVICE r1 scenario)."""
+    schema = "repo string, path string, commit string, lang string, content string"
+    indexer = StreamingIndexer(spark, str(tmp_path / "rf_idx"), TEST_CONFIG)
+    indexer.process_batch(
+        spark.createDataFrame([("r1", "a.py", "c1", "py", "alpha beta")], schema), 0
+    )
+    out = str(tmp_path / "rf_compacted")
+    indexer.compact(out)
+    eng = SearchEngine(spark, out)
+    assert eng.search("alpha").count() == 1
+    # negative probe gets memoized
+    assert eng.search("zeppelin").count() == 0
+
+    indexer.process_batch(
+        spark.createDataFrame(
+            [("r1", "b.py", "c2", "py", "zeppelin zeppelin")], schema
+        ),
+        1,
+    )
+    indexer.compact(out)  # same dir, in place
+    # stale caches: still absent without refresh
+    assert eng.search("zeppelin").count() == 0
+    eng.refresh()
+    hits = eng.search("zeppelin").collect()
+    assert len(hits) == 1
+    assert eng.search("alpha").count() == 1
+
+
 def test_compact_before_any_batch_raises(spark, tmp_path):
     indexer = StreamingIndexer(spark, str(tmp_path / "empty_idx"), TEST_CONFIG)
     with pytest.raises(RuntimeError, match="no segment directories"):
