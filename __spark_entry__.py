@@ -40,7 +40,8 @@ from searchengine_spark.sources.corpus import (
 # skip_threshold lowered so skip blocks exist at the 500-doc correctness
 # scale (FIXTURES.md §7 wants the block path exercised under the oracle)
 ENTRY_CONFIG = EngineConfig(
-    stopstem=False, stopwords_only=True, skip_threshold=64, shuffle_partitions=16
+    stopstem=False, stopwords_only=True, skip_threshold=64,
+    shuffle_partitions=16, positions=True,
 )
 # same semantics, posting blocks stored VByte+Unary compressed — puts the
 # codec + _decode_blocks query path (C1/C2/S6) under the same SQL oracles
@@ -50,6 +51,7 @@ ENTRY_CONFIG_C = EngineConfig(
 )
 
 Q_DISJ = "spark table join fast"
+Q_PHRASE = "merge column"
 Q_TFIDF = "window agg customer stream"
 Q_CONJ = "table value row"
 Q_MAXSCORE = "fast merge batch sort"
@@ -387,6 +389,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_pieces", "est_bpe_tokens"
         )
 
+    def phrase_topk(spark, sf):
+        # exact-phrase top-k over the positional index
+        return _engine(spark, sf).phrase_search(Q_PHRASE, k=10).select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round(F.col("score"), 6).alias("score"),
+            F.col("phrase_tf").cast("long").alias("phrase_tf"),
+        )
+
     def bm25_topk_compressed(spark, sf):
         # VByte/Unary-compressed index, same oracle SQL as the raw path:
         # results must be identical (C1/C2/S6 + _decode_blocks under oracle)
@@ -511,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk_ivf": embedding_cosine_topk_ivf,
         "ann_ivf_recall": ann_ivf_recall,
         "bm25_topk_compressed": bm25_topk_compressed,
+        "phrase_topk": phrase_topk,
         "batch_topk": batch_topk,
         "dedup_near_groups": dedup_near_groups,
     }
@@ -907,6 +919,45 @@ FROM base
     # identical SQL as the raw-index disjunctive query: the compressed
     # index must produce the same results bit-for-bit
     sql["bm25_topk_compressed"] = _topk_sql(Q_DISJ)
+
+    # exact phrase: positions are indices into the post-pipeline token
+    # sequence; an occurrence at base b has term_i at b+i; BM25 treats
+    # the phrase as one pseudo-term (df = matching docs)
+    _ph_terms = Q_PHRASE.split()
+    _ph_idx = ", ".join(f"({i}, '{t}')" for i, t in enumerate(_ph_terms))
+    sql["phrase_topk"] = f"""
+WITH {_BASE_CTES},
+pos AS (
+  SELECT doc_id, unnest(tokens) AS term,
+         unnest(range(len(tokens))) AS p
+  FROM toks
+),
+idxv AS (SELECT * FROM (VALUES {_ph_idx}) v(i, term)),
+bases AS (
+  SELECT pos.doc_id, pos.p - idxv.i AS base, idxv.i
+  FROM pos JOIN idxv ON pos.term = idxv.term
+),
+occ AS (
+  SELECT doc_id, base FROM bases
+  GROUP BY doc_id, base
+  HAVING count(DISTINCT i) = {len(_ph_terms)}
+),
+ptf AS (SELECT doc_id, count(*) AS tf FROM occ GROUP BY doc_id),
+pdf AS (SELECT count(*) AS df FROM ptf),
+scored AS (
+  SELECT ptf.doc_id, ptf.tf,
+         (ptf.tf / (1.2 * (0.25 + 0.75 * doclen.dl / (stats.tot / stats.n_docs))
+          + ptf.tf)) * log10(stats.n_docs / pdf.df) AS score
+  FROM ptf
+  JOIN doclen ON doclen.doc_id = ptf.doc_id
+  CROSS JOIN stats CROSS JOIN pdf
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(score, 6) AS score, CAST(tf AS BIGINT) AS phrase_tf
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
 
     sql["batch_topk"] = "\nUNION ALL\n".join(
         f"SELECT '{qid}' AS query_id, * FROM ({_topk_sql(text)})"

@@ -41,6 +41,7 @@ def cmd_build(args) -> None:
         stopstem=not args.no_sws,
         compression=args.compression,
         skip_threshold=args.skip_threshold,
+        positions=args.positions,
     )
     corpus = load_documents_as_corpus(spark, args.input)
     manifest = build_index(spark, corpus, args.index, cfg, resume=not args.no_resume)
@@ -52,14 +53,21 @@ def cmd_query(args) -> None:
 
     spark = _spark(args.cpus)
     engine = SearchEngine(spark, args.index)
-    rows = engine.search(
-        args.text,
-        k=args.k,
-        mode="conjunctive" if args.conjunctive else "disjunctive",
-        scorer=args.scorer,
-        algo=args.algo,
-        with_docno=True,
-    ).collect()
+    if args.phrase:
+        result = engine.phrase_search(args.text, k=args.k)
+        result = engine.doctable.select("doc_id", "docno").join(
+            result, "doc_id"
+        ).select("rank", "doc_id", "docno", "score")
+    else:
+        result = engine.search(
+            args.text,
+            k=args.k,
+            mode="conjunctive" if args.conjunctive else "disjunctive",
+            scorer=args.scorer,
+            algo=args.algo,
+            with_docno=True,
+        )
+    rows = result.collect()
     for r in sorted(rows, key=lambda r: r["rank"]):
         print(f"{r['rank']:>4}  {r['score']:>12.6f}  {r['doc_id']:>10}  {r['docno']}")
 
@@ -189,6 +197,8 @@ def main(argv=None) -> None:
     b.add_argument("--no-sws", action="store_true", help="disable stopword+stem")
     b.add_argument("--compression", action="store_true")
     b.add_argument("--skip-threshold", type=int, default=1024)
+    b.add_argument("--positions", action="store_true",
+                   help="also build the positional index (phrase queries)")
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--cpus", type=int)
     b.set_defaults(fn=cmd_build)
@@ -198,6 +208,8 @@ def main(argv=None) -> None:
     q.add_argument("--text", required=True)
     q.add_argument("--k", type=int, default=10, choices=[10, 20, 100])
     q.add_argument("--conjunctive", action="store_true")
+    q.add_argument("--phrase", action="store_true",
+                   help="exact-phrase query (needs an index built with --positions)")
     q.add_argument("--scorer", choices=["bm25", "tfidf"], default="bm25")
     q.add_argument("--algo", choices=["daat", "maxscore"], default="daat")
     q.add_argument("--cpus", type=int)

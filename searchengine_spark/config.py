@@ -51,6 +51,13 @@ class EngineConfig:
     # PartialIndexBuilder.java:69-71)
     term_dim: int = 20
 
+    # also materialize a positional index (term, doc_id, positions) —
+    # positions are 0-based indices into the POST-pipeline token sequence
+    # (after stopword removal/stemming/truncation), enabling phrase
+    # queries. Beyond the reference (which has no positions); off by
+    # default because it roughly doubles index size.
+    positions: bool = False
+
     # number of term hash-buckets the postings/lexicon tables are
     # partitioned by (query-time partition pruning on pmod(crc32(term)) —
     # crc32 so external engines/oracles can reproduce the bucketing)

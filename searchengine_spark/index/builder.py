@@ -190,7 +190,8 @@ class IndexBuilder:
         # the shuffle spill replaces the reference's 0.8-heap SPIMI spill.
         need_doct = not self._stage_done(manifest, "doctable")
         need_tf = not self._stage_done(manifest, "tf")
-        if need_doct or need_tf:
+        need_pos = cfg.positions and not self._stage_done(manifest, "positions")
+        if need_doct or need_tf or need_pos:
             # ONE pass over the raw input: tokenize before doc_id
             # assignment and persist, so assign_doc_ids' two driver jobs
             # (boundary sample, range counts) and both stage writes all
@@ -243,12 +244,20 @@ class IndexBuilder:
                 )
                 self._finish_stage(manifest, "doctable", t0)
 
-            if need_tf:
-                t0 = time.time()
+            if need_tf or need_pos:
+                # posexplode keeps each token's 0-based index in the
+                # post-pipeline sequence — free for tf (ignored), feeds
+                # the optional positional stage
                 exploded = tokenized.select(
-                    "doc_id", "doc_len", F.explode("tokens_raw").alias("raw")
+                    "doc_id",
+                    "doc_len",
+                    F.posexplode("tokens_raw").alias("pos", "raw"),
                 )
                 exploded = stem_terms(exploded, cfg, raw_col="raw")
+                if need_tf and need_pos:
+                    exploded = exploded.persist()
+            if need_tf:
+                t0 = time.time()
                 tf = (
                     exploded.groupBy("term", "doc_id", "doc_len")
                     .agg(F.count("*").alias("tf"))
@@ -258,6 +267,27 @@ class IndexBuilder:
                 )
                 tf.write.mode("overwrite").parquet(os.path.join(self.index_dir, "tf"))
                 self._finish_stage(manifest, "tf", t0)
+            if need_pos:
+                # positional stage: (term, doc_id, positions sorted) —
+                # bucket-partitioned like postings so a phrase query
+                # partition-prunes to its terms' buckets
+                t0 = time.time()
+                (
+                    exploded.groupBy("term", "doc_id")
+                    .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+                    .withColumn(
+                        "term_bucket",
+                        term_bucket_expr(F.col("term"), cfg.n_term_buckets),
+                    )
+                    .repartition(cfg.shuffle_partitions, "term_bucket")
+                    .sortWithinPartitions("term", "doc_id")
+                    .write.mode("overwrite")
+                    .partitionBy("term_bucket")
+                    .parquet(os.path.join(self.index_dir, "positions"))
+                )
+                self._finish_stage(manifest, "positions", t0)
+            if need_tf and need_pos:
+                exploded.unpersist()
             tokenized.unpersist()
             pretok.unpersist()
 

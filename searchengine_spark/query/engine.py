@@ -425,6 +425,82 @@ class SearchEngine:
             return _decode_blocks(blocks).select("doc_id")
         return blocks.select(F.explode("doc_ids").alias("doc_id"))
 
+    # ---------- phrase queries (positional index; beyond-reference) ----------
+
+    def phrase_search(self, phrase: str, k: int = 10) -> DataFrame:
+        """Exact phrase top-k over the positional index (requires a build
+        with ``positions=True``). A phrase occurrence is a run of the
+        phrase's terms at consecutive positions of the POST-pipeline
+        token sequence (stopwords removed, stems applied) — the standard
+        semantics for a stopped/stemmed index.
+
+        One Spark job, all JVM-side: read the phrase terms' bucket-pruned
+        positions rows, shift each term's positions by its phrase offset
+        (an occurrence at base b means term_i sits at b+i), and a doc's
+        phrase tf is the number of bases covered by ALL terms —
+        ``groupBy(doc_id, base)`` + coverage count, no per-term join
+        chain. Scoring is BM25 treating the phrase as one pseudo-term:
+        idf from the phrase's doc frequency (computed in-plan), the
+        usual Q-1/Q-4 quirks preserved. Strict semantics: a phrase with
+        any unindexed term matches nothing (unlike the disjunctive
+        paths' drop-unknown-terms rule — dropping a phrase word would
+        silently change the phrase)."""
+        pos_dir = os.path.join(self.index_dir, "positions")
+        if not os.path.exists(pos_dir):
+            raise RuntimeError(
+                "no positional index: build with EngineConfig(positions=True)"
+            )
+        from ..functions.text import tokenize_doc_py
+
+        terms = [
+            t[: self.config.term_dim]
+            for t in tokenize_doc_py(phrase, self.config)
+        ]
+        empty = self.spark.createDataFrame(
+            [], "rank int, doc_id long, score double, phrase_tf long"
+        )
+        if not terms:
+            return empty
+        stats = self._term_stats(terms)
+        if any(t not in stats for t in terms):
+            return empty  # strict: unknown word => phrase cannot occur
+
+        pos = self.spark.read.parquet(pos_dir).filter(self._bucket_filter(terms))
+        idx = self.spark.createDataFrame(
+            list(enumerate(terms)), "i int, term string"
+        )
+        bases = (
+            pos.join(F.broadcast(idx), "term")
+            .select("doc_id", "i", F.explode("positions").alias("p"))
+            .withColumn("base", F.col("p") - F.col("i"))
+        )
+        occ = (
+            bases.groupBy("doc_id", "base")
+            .agg(F.count_distinct("i").alias("cover"))
+            .filter(F.col("cover") == len(terms))
+        )
+        ptf = occ.groupBy("doc_id").agg(
+            F.count("*").cast("int").alias("phrase_tf")
+        )
+        scored = ptf.join(self.doctable.select("doc_id", "doc_len"), "doc_id")
+        cfg = self.config
+        partial = bm25_partial_expr(
+            F.col("phrase_tf"), F.col("doc_len"), self.stats["avgdl"], cfg.k1, cfg.b
+        )
+        # phrase df via an unbounded window: the matching-doc set is
+        # tiny (it already passed the positional intersection)
+        w_all = Window.partitionBy()
+        scored = scored.withColumn("phrase_df", F.count("*").over(w_all))
+        idf = F.log10(F.lit(float(self.stats["n_docs"])) / F.col("phrase_df"))
+        per_doc = scored.select(
+            "doc_id", (partial * idf).alias("score"), "phrase_tf"
+        )
+        topk = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return topk.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "doc_id", "score", "phrase_tf"
+        )
+
     # ---------- batch (TestPerformance.java analogue) ----------
 
     def batch_search(
