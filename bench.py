@@ -187,6 +187,20 @@ def main() -> None:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
+    # positional index: separate build+dir so the headline index_build
+    # stays comparable across rounds
+    idx_pos = idx_dir + "_pos"
+    shutil.rmtree(idx_pos, ignore_errors=True)
+    cfg_pos = EngineConfig(stopstem=True, skip_threshold=64,
+                           shuffle_partitions=CPUS, positions=True)
+    t0 = time.time()
+    build_index(spark, corpus, idx_pos, cfg_pos, resume=False)
+    timings["index_build_positions"] = round(time.time() - t0, 3)
+    pos_engine = SearchEngine(spark, idx_pos)
+
+    timed("query_phrase",
+          lambda: pos_engine.phrase_search("merge column", k=10).collect())
+
     timed("query_conjunctive",
           lambda: engine.search("table value row", k=10, mode="conjunctive").collect())
     timed("query_maxscore",
@@ -232,6 +246,9 @@ def main() -> None:
         timed("similarity_ann_ivf_query",
               lambda: SIM.ann_query_ivf(
                   spark, f"{ann_dir}/ivf", qv, k=10, n_probe=4).collect())
+        timed("dedup_embedding_pairs",
+              lambda: SIM.embedding_near_dup_pairs(
+                  emb, dim=len(qv), threshold=0.4).count())
 
     total = time.time() - t_all
     print(json.dumps({
