@@ -482,7 +482,11 @@ class SearchEngine:
         ptf = occ.groupBy("doc_id").agg(
             F.count("*").cast("int").alias("phrase_tf")
         )
-        scored = ptf.join(self.doctable.select("doc_id", "doc_len"), "doc_id")
+        # matched docs are the tiny side — broadcast them and stream the
+        # (at scale, enormous) doctable past the hash
+        scored = self.doctable.select("doc_id", "doc_len").join(
+            F.broadcast(ptf), "doc_id"
+        )
         cfg = self.config
         partial = bm25_partial_expr(
             F.col("phrase_tf"), F.col("doc_len"), self.stats["avgdl"], cfg.k1, cfg.b
