@@ -57,8 +57,22 @@ def _md5_hash32(col, seed_prefix):
     ).cast("long")
 
 
+def _perm_hash(col, seed_col, hash_fn: str):
+    """Per-permutation shingle hash. 'md5' is the cross-engine-
+    reproducible default (DuckDB oracles recompute it bit-for-bit);
+    'xxhash64' is the production fast path — Spark's native non-crypto
+    hash, one JVM intrinsic instead of a hex-digest + string slice +
+    base conversion per (shingle, permutation). Same banding behavior
+    (uniform 64-bit values), NOT reproducible outside Spark."""
+    if hash_fn == "md5":
+        return _md5_hash32(col, seed_col)
+    if hash_fn == "xxhash64":
+        return F.xxhash64(seed_col, col)
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (use 'md5' or 'xxhash64')")
+
+
 def minhash_signatures(
-    shingled: DataFrame, num_perm: int = 16
+    shingled: DataFrame, num_perm: int = 16, hash_fn: str = "md5"
 ) -> DataFrame:
     """(doc_id, shingles:array<string>) -> (doc_id, perm, minhash).
 
@@ -82,7 +96,9 @@ def minhash_signatures(
         .select(
             "doc_id",
             "perm",
-            _md5_hash32(F.col("sh"), F.col("perm").cast("string")).alias("h"),
+            _perm_hash(
+                F.col("sh"), F.col("perm").cast("string"), hash_fn
+            ).alias("h"),
         )
         .groupBy("doc_id", "perm")
         .agg(F.min("h").alias("minhash"))

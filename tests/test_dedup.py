@@ -60,6 +60,22 @@ def test_lsh_candidates_cover_true_near_dups(shingled):
     assert (3, 4) in cand and (4, 5) in cand
 
 
+def test_minhash_xxhash64_fast_path(shingled):
+    """The production hash (xxhash64) must band identically in structure
+    and catch the same true near-dups as the oracle-reproducible md5."""
+    for hf in ("md5", "xxhash64"):
+        sigs = DD.minhash_signatures(shingled, num_perm=16, hash_fn=hf)
+        assert sigs.count() == 8 * 16  # one row per (doc, perm)
+        cand = {
+            (r["doc_a"], r["doc_b"])
+            for r in DD.lsh_candidate_pairs(sigs, 16, 4).collect()
+        }
+        # exact duplicates collide in every band under ANY hash
+        assert (1, 2) in cand and (7, 8) in cand
+    with pytest.raises(ValueError, match="unknown hash_fn"):
+        DD.minhash_signatures(shingled, hash_fn="sha9000").collect()
+
+
 def test_jaccard_on_candidates_matches_standalone(shingled, spark):
     sigs = DD.minhash_signatures(shingled, num_perm=16)
     cand = DD.lsh_candidate_pairs(sigs, num_perm=16, bands=4)
