@@ -156,6 +156,36 @@ def cmd_repl(args) -> None:
     run_repl(engine, sys.stdin, sys.stdout)
 
 
+def cmd_stats(args) -> None:
+    """Index report (the reference's Documentation Table-1/2 analogue):
+    per-stage rows, on-disk bytes, build duration and rows/sec from the
+    lineage manifest plus a directory walk — no Spark session needed."""
+    import os
+
+    idx = args.index.rstrip("/")
+    with open(os.path.join(idx, "manifest.json")) as f:
+        manifest = json.load(f)
+    with open(os.path.join(idx, "stats.json")) as f:
+        stats = json.load(f)
+    out = {"index_dir": idx, "collection": stats, "stages": {}}
+    for stage, entry in sorted(manifest.get("stages", {}).items()):
+        path = os.path.join(idx, stage)
+        n_bytes = 0
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                n_bytes += sum(
+                    os.path.getsize(os.path.join(root, fn)) for fn in files
+                )
+        out["stages"][stage] = {
+            "rows": entry.get("rows"),
+            "bytes": n_bytes or None,
+            "duration_sec": entry.get("duration_sec"),
+            "rows_per_sec": entry.get("rows_per_sec"),
+            "files": len(entry.get("files", {})) or None,
+        }
+    print(json.dumps(out, indent=2))
+
+
 def cmd_batch(args) -> None:
     from .query.engine import SearchEngine
     from .query.trec import (
@@ -219,6 +249,10 @@ def main(argv=None) -> None:
     r.add_argument("--index", required=True)
     r.add_argument("--cpus", type=int)
     r.set_defaults(fn=cmd_repl)
+
+    s = sub.add_parser("stats")
+    s.add_argument("--index", required=True)
+    s.set_defaults(fn=cmd_stats)
 
     t = sub.add_parser("batch")
     t.add_argument("--index", required=True)

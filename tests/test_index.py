@@ -52,6 +52,17 @@ def test_table_source_matches_parquet_source(spark, corpus):
     assert corpus.exceptAll(via_table).count() == 0
 
 
+def test_stats_cli_report(index_dir, capsys):
+    from searchengine_spark.__main__ import main as cli_main
+
+    cli_main(["stats", "--index", index_dir])
+    out = json.loads(capsys.readouterr().out)
+    assert out["collection"]["n_docs"] == out["collection"]["true_doc_count"] + 1
+    for stage in ("doctable", "tf", "lexicon", "postings"):
+        assert out["stages"][stage]["rows"] > 0
+        assert out["stages"][stage]["bytes"] > 0
+
+
 def test_jsonl_and_csv_sources_roundtrip(spark, corpus, tmp_path):
     """Writing the canonical frame as JSONL/TSV and reading it back via
     the format sources must reproduce the same rows (explicit schema, no
