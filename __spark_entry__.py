@@ -389,6 +389,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_pieces", "est_bpe_tokens"
         )
 
+    def chunked_documents(spark, sf):
+        return TS.chunk_documents(
+            _corpus(spark, sf), max_tokens=64, overlap=16
+        ).select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text")
+
     def phrase_topk(spark, sf):
         # exact-phrase top-k over the positional index
         return _engine(spark, sf).phrase_search(Q_PHRASE, k=10).select(
@@ -515,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": embedding_cosine_topk,
         "embedding_near_pairs": embedding_near_pairs,
         "bpe_token_estimate": bpe_token_estimate,
+        "chunked_documents": chunked_documents,
         "simhash_fingerprints": simhash_fingerprints,
         "simhash_near_pairs": simhash_near_pairs,
         "multimodal_features": multimodal_features,
@@ -1116,6 +1122,40 @@ SELECT doc_id,
          list_sum(list_transform(pieces, t -> CAST(ceil(len(t) / 4.0) AS BIGINT))),
          0) AS BIGINT) AS est_bpe_tokens
 FROM p
+"""
+
+    # chunking: windows of 64 whitespace tokens, stride 48 (overlap 16);
+    # last window short; docs <= 64 tokens are one chunk
+    sql["chunked_documents"] = f"""
+WITH {_BASE_CTES},
+t AS (
+  SELECT doc_id,
+         CASE WHEN trim(regexp_replace(content, '\\s+', ' ', 'g')) = ''
+              THEN []::VARCHAR[]
+              ELSE str_split(trim(regexp_replace(content, '\\s+', ' ', 'g')), ' ')
+         END AS toks
+  FROM base
+),
+m AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 64 THEN 1
+              ELSE 1 + CAST(ceil((len(toks) - 64) / 48.0) AS INT) END AS n_chunks
+  FROM t
+),
+e AS (
+  SELECT doc_id, toks,
+         unnest(range(n_chunks)) AS chunk_id
+  FROM m
+),
+c AS (
+  SELECT doc_id, chunk_id,
+         toks[chunk_id * 48 + 1 : chunk_id * 48 + 64] AS ct
+  FROM e
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(ct) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(ct, ' ') AS chunk_text
+FROM c
 """
 
     sql["embedding_cosine_topk"] = """

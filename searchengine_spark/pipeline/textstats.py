@@ -82,6 +82,53 @@ def with_bpe_token_estimate(
     ).withColumn("est_bpe_tokens", est)
 
 
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 256,
+    overlap: int = 32,
+    content_col: str = "content",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard LLM-pretraining prep step. One row per chunk:
+    (doc_id, chunk_id, n_chunk_tokens, chunk_text).
+
+    Whitespace tokens (pre-pipeline: chunking must preserve the raw
+    text, not the search-normalized form); window i covers tokens
+    [i*stride, i*stride + max_tokens) with stride = max_tokens - overlap;
+    the last window is short rather than padded; a doc shorter than
+    max_tokens is one chunk. Pure Column expressions — sequence +
+    slice + posexplode, no shuffle, no Python."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    c = F.col(content_col)
+    trimmed = F.trim(F.regexp_replace(c, r"\s+", " "))
+    toks = F.when(
+        trimmed == "", F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, " "))
+    n = F.size(toks)
+    # number of windows: 1 + ceil((n - max_tokens) / stride) for n > max
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.ceil((n - F.lit(max_tokens)) / F.lit(float(stride))).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, max_tokens),
+    )
+    return (
+        docs.select(
+            "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_toks")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size("chunk_toks").cast("long").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "chunk_toks").alias("chunk_text"),
+        )
+    )
+
+
 def with_quality_score(docs: DataFrame, content_col: str = "content") -> DataFrame:
     """Heuristic quality score in [0,1] from length, punctuation density
     and stopword ratio — the standard web-corpus filtering trio:

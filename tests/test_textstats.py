@@ -57,6 +57,31 @@ def _bpe_ref(text: str) -> tuple[int, int]:
                             for p in pieces)
 
 
+def test_chunk_documents_windows(spark):
+    words = [f"w{i}" for i in range(25)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "short doc"), (3, "   ")],
+        "doc_id long, content string",
+    )
+    rows = TS.chunk_documents(docs, max_tokens=10, overlap=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 25 tokens, window 10, stride 7 -> chunks at 0,7,14,21 (last short)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_chunk_tokens"] for r in c1] == [10, 10, 10, 4]
+    assert c1[0]["chunk_text"].split(" ") == words[0:10]
+    assert c1[1]["chunk_text"].split(" ") == words[7:17]
+    assert c1[3]["chunk_text"].split(" ") == words[21:25]
+    # overlap: last 3 tokens of chunk i == first 3 of chunk i+1
+    assert c1[0]["chunk_text"].split(" ")[-3:] == c1[1]["chunk_text"].split(" ")[:3]
+    # short doc -> one chunk; blank doc -> one empty chunk
+    assert [(r["chunk_id"], r["n_chunk_tokens"]) for r in by_doc[2]] == [(0, 2)]
+    assert [(r["chunk_id"], r["n_chunk_tokens"]) for r in by_doc[3]] == [(0, 0)]
+    with pytest.raises(ValueError, match="overlap"):
+        TS.chunk_documents(docs, max_tokens=10, overlap=10)
+
+
 def test_bpe_token_estimate_matches_python(docs):
     rows = {r["doc_id"]: (r["n_pieces"], r["est_bpe_tokens"])
             for r in TS.with_bpe_token_estimate(docs).collect()}
