@@ -212,9 +212,21 @@ def cmd_batch(args) -> None:
             batch_efficiency_report(engine, queries, k=args.k, algo=args.algo)
         ))
     else:
-        run = trec_run_df(engine, queries, k=args.k, algo=args.algo)
+        raw = engine.batch_search(queries, k=args.k, algo=args.algo)
+        if args.qrels:
+            raw = raw.persist()
+        run = trec_run_df(engine, queries, k=args.k, results=raw)
         write_trec_run(run, args.out)
         print(f"wrote {args.out}")
+        if args.qrels:
+            # native RR / nDCG@10 (the reference shells out to trec_eval)
+            from .query.metrics import effectiveness_report as eff
+
+            qrels = spark.read.csv(
+                args.qrels, sep="\t",
+                schema="query_id string, doc_id long, rel int",
+            )
+            print(json.dumps(eff(raw, qrels, k=10)))
 
 
 def main(argv=None) -> None:
@@ -267,6 +279,8 @@ def main(argv=None) -> None:
     t.add_argument("--k", type=int, default=10)
     t.add_argument("--algo", choices=["daat", "maxscore"], default="daat")
     t.add_argument("--out", default="run.txt")
+    t.add_argument("--qrels", help="TSV qid\\tdoc_id\\trel: also print native "
+                   "RR/nDCG@10 (effectiveness mode only)")
     t.add_argument("--cpus", type=int)
     t.set_defaults(fn=cmd_batch)
 

@@ -23,12 +23,16 @@ def trec_run_df(
     queries: Sequence[tuple[str, str]],
     k: int = 100,
     run_id: str = "RUN-01",
+    results: DataFrame | None = None,
     **search_kw,
 ) -> DataFrame:
     """(query_id, 'Q0', docno, rank, score, run_id) for the query set —
     top-100 per query like the reference's effectiveness mode
-    (TestPerformance.java:111-141)."""
-    results = engine.batch_search(queries, k=k, **search_kw)
+    (TestPerformance.java:111-141). Pass precomputed ``results``
+    (batch_search output) to reuse one batch job for both the run file
+    and metric computation."""
+    if results is None:
+        results = engine.batch_search(queries, k=k, **search_kw)
     # broadcast the (k * |queries|)-row result; stream the doctable past it
     return (
         engine.doctable.select("doc_id", "docno")
