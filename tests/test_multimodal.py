@@ -152,6 +152,33 @@ def test_image_thumbnails(spark):
     assert np.array_equal(thumb, MM.resize_nearest(img, 8, 8))
 
 
+def test_frame_sample_slices(spark):
+    payload = bytes(range(256)) * 20  # 5120 bytes
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(payload))],
+        "doc_id long, media_type string, payload binary",
+    )
+    rows = sorted(
+        MM.frame_sample(df, every_n_bytes=1024, max_frames=3).collect(),
+        key=lambda r: r["frame_id"],
+    )
+    assert [r["frame_id"] for r in rows] == [0, 1, 2]
+    for i, r in enumerate(rows):
+        assert bytes(r["frame_bytes"]) == payload[i * 1024 : (i + 1) * 1024]
+
+
+def test_attach_media_metadata(spark):
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"abc"))],
+        "doc_id long, media_type string, payload binary",
+    )
+    r = MM.attach_media_metadata(df).collect()[0]
+    assert r["n_bytes"] == 3
+    import hashlib
+
+    assert r["payload_sha"] == hashlib.sha256(b"abc").hexdigest()
+
+
 def test_fake_decoder_still_deterministic(spark):
     df = spark.createDataFrame(
         [(1, "image", bytearray(b"same")), (2, "image", bytearray(b"same"))],
