@@ -268,13 +268,18 @@ class IndexBuilder:
                 tf.write.mode("overwrite").parquet(os.path.join(self.index_dir, "tf"))
                 self._finish_stage(manifest, "tf", t0)
             if need_pos:
-                # positional stage: (term, doc_id, positions sorted) —
-                # bucket-partitioned like postings so a phrase query
-                # partition-prunes to its terms' buckets
+                # positional stage: (term, doc_id, doc_len, positions
+                # sorted) — bucket-partitioned like postings so a phrase
+                # query partition-prunes to its terms' buckets; doc_len
+                # rides along (one int/row) so phrase scoring needs NO
+                # doctable join at query time (J7's pattern)
                 t0 = time.time()
                 (
                     exploded.groupBy("term", "doc_id")
-                    .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+                    .agg(
+                        F.sort_array(F.collect_list("pos")).alias("positions"),
+                        F.first("doc_len").alias("doc_len"),
+                    )
                     .withColumn(
                         "term_bucket",
                         term_bucket_expr(F.col("term"), cfg.n_term_buckets),

@@ -76,6 +76,7 @@ class SearchEngine:
         self._lex_cache: dict[str, Optional[dict]] = {}
         self._block_max_cache: dict[str, list[dict]] = {}
         self._lexicon_df: Optional[DataFrame] = None
+        self._positions_df: Optional[DataFrame] = None
         self.postings = spark.read.parquet(os.path.join(self.index_dir, "postings"))
         self.doctable = spark.read.parquet(os.path.join(self.index_dir, "doctable"))
 
@@ -88,6 +89,7 @@ class SearchEngine:
         self._lex_cache.clear()
         self._block_max_cache.clear()
         self._lexicon_df = None
+        self._positions_df = None
         with open(os.path.join(self.index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         self.config = EngineConfig.load(self.index_dir)
@@ -465,28 +467,44 @@ class SearchEngine:
         if any(t not in stats for t in terms):
             return empty  # strict: unknown word => phrase cannot occur
 
-        pos = self.spark.read.parquet(pos_dir).filter(self._bucket_filter(terms))
+        # resolve the positions frame ONCE per engine (directory listing
+        # + schema read are driver-side costs a per-query re-read would
+        # pay every time, like postings/doctable in __init__)
+        if self._positions_df is None:
+            self._positions_df = self.spark.read.parquet(pos_dir)
+        pos = self._positions_df.filter(self._bucket_filter(terms))
         idx = self.spark.createDataFrame(
             list(enumerate(terms)), "i int, term string"
         )
+        has_doc_len = "doc_len" in pos.columns
+        cols = ["doc_id", "i", F.explode("positions").alias("p")] + (
+            [F.col("doc_len")] if has_doc_len else []
+        )
         bases = (
             pos.join(F.broadcast(idx), "term")
-            .select("doc_id", "i", F.explode("positions").alias("p"))
+            .select(*cols)
             .withColumn("base", F.col("p") - F.col("i"))
         )
-        occ = (
-            bases.groupBy("doc_id", "base")
-            .agg(F.count_distinct("i").alias("cover"))
-            .filter(F.col("cover") == len(terms))
+        agg = [F.count_distinct("i").alias("cover")] + (
+            [F.first("doc_len").alias("doc_len")] if has_doc_len else []
         )
-        ptf = occ.groupBy("doc_id").agg(
-            F.count("*").cast("int").alias("phrase_tf")
+        occ = bases.groupBy("doc_id", "base").agg(*agg).filter(
+            F.col("cover") == len(terms)
         )
-        # matched docs are the tiny side — broadcast them and stream the
-        # (at scale, enormous) doctable past the hash
-        scored = self.doctable.select("doc_id", "doc_len").join(
-            F.broadcast(ptf), "doc_id"
+        ptf_aggs = [F.count("*").cast("int").alias("phrase_tf")] + (
+            [F.first("doc_len").alias("doc_len")] if has_doc_len else []
         )
+        ptf = occ.groupBy("doc_id").agg(*ptf_aggs)
+        if has_doc_len:
+            # doc_len rides in the positions rows (build >= r2): no
+            # doctable join — the whole query is scan -> two aggs -> topk
+            scored = ptf
+        else:
+            # legacy positional index without doc_len: broadcast the tiny
+            # matched-doc side and stream the doctable past it
+            scored = self.doctable.select("doc_id", "doc_len").join(
+                F.broadcast(ptf), "doc_id"
+            )
         cfg = self.config
         partial = bm25_partial_expr(
             F.col("phrase_tf"), F.col("doc_len"), self.stats["avgdl"], cfg.k1, cfg.b
