@@ -187,24 +187,20 @@ def cmd_stats(args) -> None:
 
 
 def cmd_batch(args) -> None:
+    from pyspark.sql import functions as F
+
     from .query.engine import SearchEngine
     from .query.trec import (
         batch_efficiency_report,
         efficiency_report,
+        read_query_tsv,
         trec_run_df,
         write_trec_run,
     )
 
     spark = _spark(args.cpus)
     engine = SearchEngine(spark, args.index)
-    queries = []
-    with open(args.queries) as f:
-        for line in f:
-            line = line.rstrip("\n")
-            if not line or "\t" not in line:
-                continue  # reference skips malformed query lines
-            qid, text = line.split("\t", 1)
-            queries.append((qid, text))
+    queries = read_query_tsv(args.queries)
     if args.mode == "efficiency":
         print(json.dumps(efficiency_report(engine, queries, k=args.k, algo=args.algo)))
     elif args.mode == "throughput":
@@ -222,10 +218,29 @@ def cmd_batch(args) -> None:
             # native RR / nDCG@10 (the reference shells out to trec_eval)
             from .query.metrics import effectiveness_report as eff
 
-            qrels = spark.read.csv(
-                args.qrels, sep="\t",
-                schema="query_id string, doc_id long, rel int",
-            )
+            if args.qrels_key == "docno":
+                # standard TREC qrels are docno-keyed: map docno ->
+                # internal doc_id through the doctable (broadcast the
+                # driver-sized qrels side)
+                raw_q = spark.read.csv(
+                    args.qrels, sep="\t",
+                    schema="query_id string, docno string, rel int",
+                )
+                qrels = engine.doctable.select("doc_id", "docno").join(
+                    F.broadcast(raw_q), "docno"
+                ).select("query_id", "doc_id", "rel")
+            else:
+                qrels = spark.read.csv(
+                    args.qrels, sep="\t",
+                    schema="query_id string, doc_id long, rel int",
+                )
+            if qrels.limit(1).count() == 0:
+                print(
+                    "WARNING: no qrels rows matched the index "
+                    f"(--qrels-key {args.qrels_key}; wrong key type?) — "
+                    "metrics would be vacuously 0",
+                    file=sys.stderr,
+                )
             print(json.dumps(eff(raw, qrels, k=10)))
 
 
@@ -279,8 +294,11 @@ def main(argv=None) -> None:
     t.add_argument("--k", type=int, default=10)
     t.add_argument("--algo", choices=["daat", "maxscore"], default="daat")
     t.add_argument("--out", default="run.txt")
-    t.add_argument("--qrels", help="TSV qid\\tdoc_id\\trel: also print native "
+    t.add_argument("--qrels", help="TSV qid\\t<key>\\trel: also print native "
                    "RR/nDCG@10 (effectiveness mode only)")
+    t.add_argument("--qrels-key", choices=["docno", "doc_id"], default="docno",
+                   help="qrels key column: docno (standard TREC, mapped "
+                   "through the doctable) or internal doc_id")
     t.add_argument("--cpus", type=int)
     t.set_defaults(fn=cmd_batch)
 

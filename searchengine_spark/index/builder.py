@@ -68,7 +68,12 @@ from ..functions.scoring import bm25_partial_expr, idf_expr, tfidf_partial_expr
 from ..functions.text import stem_udf, tokenize_raw
 from ..sources.corpus import assign_doc_ids, filter_malformed, with_sha256
 
-STAGES = ("doctable", "tf", "lexicon", "postings")
+STAGES = ("doctable", "tf", "lexicon", "postings", "block_summary")
+
+# per-term block-maxima kept in the block_summary stage: bounds the
+# query-time theta metadata read at O(|terms| * K). 100 covers every
+# reference k (Main.java:58 allows 10/20/100).
+THETA_TOPK = 100
 
 
 def stem_terms(exploded: DataFrame, cfg: EngineConfig, raw_col: str = "raw") -> DataFrame:
@@ -448,6 +453,85 @@ class IndexBuilder:
                 manifest, "postings", t0, {"block_mode": cfg.block_mode}
             )
 
+        # --- stage 6: per-term block-maxima summary ---
+        # MaxScore's theta bootstrap needs each query term's k largest
+        # per-block maxima. Reading them from the postings metadata is
+        # O(#blocks) per term — unbounded for a stopword-scale term (1e9
+        # postings => ~1e6 block rows in range mode). This stage persists
+        # only the TOP-THETA_TOPK maxima per term (K=100 covers every
+        # reference k in {10,20,100}), so the query-time driver read is
+        # O(|terms| * K) regardless of posting-list length. Row count ==
+        # lexicon row count; the pre-rank window ships (term, double)
+        # pairs only, never posting payloads.
+        if not self._stage_done(manifest, "block_summary"):
+            t0 = time.time()
+            post = self.spark.read.parquet(
+                os.path.join(self.index_dir, "postings")
+            )
+            wb = Window.partitionBy("term").orderBy(
+                F.desc("block_max_bm25"), F.asc("block_id")
+            )
+            wt = Window.partitionBy("term").orderBy(
+                F.desc("block_max_tfidf"), F.asc("block_id")
+            )
+            ranked = post.select(
+                "term", "block_id", "block_max_bm25", "block_max_tfidf"
+            ).select(
+                "term",
+                "block_max_bm25",
+                "block_max_tfidf",
+                F.row_number().over(wb).alias("_rb"),
+                F.row_number().over(wt).alias("_rt"),
+            ).filter(
+                (F.col("_rb") <= THETA_TOPK) | (F.col("_rt") <= THETA_TOPK)
+            )
+            summary = (
+                ranked.groupBy("term")
+                .agg(
+                    F.slice(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(F.col("_rb") <= THETA_TOPK,
+                                       F.col("block_max_bm25"))
+                            ),
+                            asc=False,
+                        ),
+                        1,
+                        THETA_TOPK,
+                    ).alias("top_block_max_bm25"),
+                    F.slice(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(F.col("_rt") <= THETA_TOPK,
+                                       F.col("block_max_tfidf"))
+                            ),
+                            asc=False,
+                        ),
+                        1,
+                        THETA_TOPK,
+                    ).alias("top_block_max_tfidf"),
+                )
+                .withColumn(
+                    "term_bucket",
+                    term_bucket_expr(F.col("term"), cfg.n_term_buckets),
+                )
+            )
+            # n_block_rows: ACTUAL block-row count (range mode can leave
+            # planned blocks empty, so lexicon.n_blocks is only an upper
+            # bound) — theta needs >= k real blocks before using arr[k-1]
+            n_rows = post.groupBy("term").agg(
+                F.count("*").cast("int").alias("n_block_rows")
+            )
+            (
+                summary.join(n_rows, "term")
+                .repartition(cfg.shuffle_partitions, "term_bucket")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .partitionBy("term_bucket")
+                .parquet(os.path.join(self.index_dir, "block_summary"))
+            )
+            self._finish_stage(manifest, "block_summary", t0)
+
         manifest["index_dir"] = self.index_dir
         self._save_manifest(manifest)
         return manifest
@@ -456,8 +540,12 @@ class IndexBuilder:
 def _compress_blocks(blocks: DataFrame) -> DataFrame:
     """Replace the array columns with reference-format compressed binaries
     (VByte docIds + Unary tfs) via an Arrow-batched pandas UDF.
-    doc_lens are dropped — the compressed query path re-joins the doctable
-    (reference behavior: doc length looked up at score time, Score.java:26).
+    doc_lens stay as a plain int array beside the blobs (parquet's own
+    page encodings compress them): carrying one int per posting in-row is
+    what keeps the compressed QUERY path free of a per-query doctable
+    shuffle join — the same trade the raw layout and the positional stage
+    already make. (The reference instead looks doc length up in its
+    RAM-resident doc table at score time, Score.java:26.)
     """
 
     @F.pandas_udf(T.BinaryType())
@@ -476,6 +564,7 @@ def _compress_blocks(blocks: DataFrame) -> DataFrame:
         "max_doc_id",
         vb(F.col("doc_ids")).alias("doc_ids_vb"),
         un(F.col("tfs")).alias("tfs_unary"),
+        "doc_lens",
         "block_max_bm25",
         "block_max_tfidf",
     )

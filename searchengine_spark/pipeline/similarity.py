@@ -301,9 +301,14 @@ def embedding_near_dup_pairs(
     mask = (1 << band_bits) - 1
     planes = hyperplanes(dim, n_planes, seed)
     signed = with_rp_signatures(vectors, planes, id_col, vec_col)
+    # ID-ONLY banded self-join: the shuffle carries (id, band, band_val)
+    # — three longs per row — never the embedding payload, which would
+    # otherwise ride the exchange x bands on BOTH sides and again through
+    # the pair dedup (~6x the bytes at 768-dim floats). Vectors are
+    # re-attached AFTER dedup via two joins against the (id, vec) frame,
+    # whose shuffle is one copy per vector per surviving pair side.
     banded = signed.select(
         id_col,
-        vec_col,
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
         "sig",
     ).withColumn("band_val", F.expr(f"shiftright(sig, band * {band_bits}) & {mask}"))
@@ -318,10 +323,15 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("vec_a"),
             F.col(f"b.{id_col}").alias("vec_b"),
-            F.col(f"a.{vec_col}").alias("_va"),
-            F.col(f"b.{vec_col}").alias("_vb"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    vecs = vectors.select(id_col, vec_col)
+    pairs = (
+        pairs.join(vecs.withColumnRenamed(id_col, "vec_a"), "vec_a")
+        .withColumnRenamed(vec_col, "_va")
+        .join(vecs.withColumnRenamed(id_col, "vec_b"), "vec_b")
+        .withColumnRenamed(vec_col, "_vb")
     )
     cos = F.coalesce(
         F.nanvl(

@@ -75,6 +75,7 @@ class SearchEngine:
             self.stats = json.load(f)
         self._lex_cache: dict[str, Optional[dict]] = {}
         self._block_max_cache: dict[str, list[dict]] = {}
+        self._block_summary_cache: dict[str, Optional[dict]] = {}
         self._lexicon_df: Optional[DataFrame] = None
         self._positions_df: Optional[DataFrame] = None
         self.postings = spark.read.parquet(os.path.join(self.index_dir, "postings"))
@@ -88,6 +89,7 @@ class SearchEngine:
         newly indexed terms as absent."""
         self._lex_cache.clear()
         self._block_max_cache.clear()
+        self._block_summary_cache.clear()
         self._lexicon_df = None
         self._positions_df = None
         with open(os.path.join(self.index_dir, "stats.json")) as f:
@@ -191,6 +193,38 @@ class SearchEngine:
                 self._block_max_cache[r["term"]].append(r)
         return {t: self._block_max_cache[t] for t in terms}
 
+    def _block_summary(self, terms: Sequence[str]) -> dict[str, dict]:
+        """Per-term top-K block maxima + actual block-row count from the
+        ``block_summary`` stage (one row per term — the lexicon's shape,
+        not the postings'). This bounds the theta metadata read at
+        O(|terms| * K) driver bytes even for a stopword-scale term whose
+        postings span ~1e6 block rows. Memoized; absent terms map to
+        None. Returns {} when the index predates the stage (pre-r3) —
+        callers then fall back to :meth:`_block_maxima`."""
+        summ_dir = os.path.join(self.index_dir, "block_summary")
+        if not os.path.exists(summ_dir):
+            return {}
+        missing = [t for t in terms if t not in self._block_summary_cache]
+        if missing:
+            import pyarrow.dataset as ds
+
+            dataset = ds.dataset(summ_dir, format="parquet", partitioning="hive")
+            buckets = sorted(
+                {term_bucket_py(t, self.config.n_term_buckets) for t in missing}
+            )
+            tbl = dataset.to_table(
+                filter=ds.field("term_bucket").isin(buckets)
+                & ds.field("term").isin(missing)
+            )
+            found = {r["term"]: r for r in tbl.to_pylist()}
+            for t in missing:
+                self._block_summary_cache[t] = found.get(t)
+        return {
+            t: self._block_summary_cache[t]
+            for t in terms
+            if self._block_summary_cache.get(t) is not None
+        }
+
     def _theta_from_blocks(
         self, terms: Sequence[str], scorer: str, k: int
     ) -> float:
@@ -202,9 +236,24 @@ class SearchEngine:
         scores — and every partial score is positive (idf > 0 because
         df <= true_docs < n_docs under Q-1 inflation), so final scores
         only exceed them. Terms with fewer than k blocks contribute no
-        bound (0.0). The best bound over the query's terms is returned."""
+        bound (0.0). The best bound over the query's terms is returned.
+
+        Maxima come from the block_summary stage (per-term top-100 rows;
+        driver read is O(|terms|*K)); k beyond the stored K, or an old
+        index without the stage, falls back to the per-block metadata
+        scan."""
         bm_key = "block_max_bm25" if scorer == "bm25" else "block_max_tfidf"
+        top_key = (
+            "top_block_max_bm25" if scorer == "bm25" else "top_block_max_tfidf"
+        )
         theta = 0.0
+        summary = self._block_summary(terms) if k <= 100 else {}
+        if summary:
+            for t in terms:
+                row = summary.get(t)
+                if row is not None and row["n_block_rows"] >= k:
+                    theta = max(theta, row[top_key][k - 1])
+            return theta
         for t, blocks in self._block_maxima(terms).items():
             if len(blocks) >= k:
                 kth = sorted((b[bm_key] for b in blocks), reverse=True)[k - 1]
@@ -218,12 +267,22 @@ class SearchEngine:
     MAX_TERM_PREDICATE = 1024
 
     def _exploded_postings(
-        self, terms: Sequence[str], term_predicate: bool = True
+        self,
+        terms: Sequence[str],
+        term_predicate: bool = True,
+        block_thresh: Optional[dict[str, float]] = None,
+        scorer: str = "bm25",
     ) -> DataFrame:
         """(term, doc_id, tf, doc_len) rows for the query terms only —
         bucket partition pruning + term row-group pruning feed the scan.
         With ``term_predicate=False`` only the bucket partition filter is
-        applied (huge term sets: the caller's join does term filtering)."""
+        applied (huge term sets: the caller's join does term filtering).
+
+        ``block_thresh`` (MaxScore) drops whole blocks BEFORE the arrays
+        are touched: a block of term t with block_max < thresh[t] is
+        skipped — parquet never reads its array/blob columns. Only exact
+        when the caller also applies the theta score filter (see
+        _maxscore for the bound argument)."""
         if term_predicate and len(terms) <= self.MAX_TERM_PREDICATE:
             blocks = self.postings.filter(self._bucket_filter(terms))
         else:
@@ -231,12 +290,26 @@ class SearchEngine:
                 {term_bucket_py(t, self.config.n_term_buckets) for t in terms}
             )
             blocks = self.postings.filter(F.col("term_bucket").isin(buckets))
+        if block_thresh:
+            bm_col = "block_max_bm25" if scorer == "bm25" else "block_max_tfidf"
+            thresh_map = F.create_map(
+                *[F.lit(x) for t, v in block_thresh.items() for x in (t, v)]
+            )
+            blocks = blocks.filter(
+                F.col(bm_col)
+                >= F.coalesce(
+                    F.element_at(thresh_map, F.col("term")),
+                    F.lit(float("-inf")),
+                )
+            )
         if self.config.compression:
             exploded = _decode_blocks(blocks)
-            # compressed blocks don't carry doc_len: re-join the doctable
-            exploded = exploded.join(
-                self.doctable.select("doc_id", "doc_len"), "doc_id"
-            )
+            if "doc_len" not in exploded.columns:
+                # pre-r3 compressed index without in-row doc_lens: re-join
+                # the doctable (one shuffle the current layout avoids)
+                exploded = exploded.join(
+                    self.doctable.select("doc_id", "doc_len"), "doc_id"
+                )
         else:
             exploded = blocks.select(
                 "term",
@@ -249,7 +322,13 @@ class SearchEngine:
             )
         return exploded
 
-    def _scored(self, terms: Sequence[str], stats: dict, scorer: str) -> DataFrame:
+    def _scored(
+        self,
+        terms: Sequence[str],
+        stats: dict,
+        scorer: str,
+        block_thresh: Optional[dict[str, float]] = None,
+    ) -> DataFrame:
         cfg = self.config
         idf_map = F.create_map(
             *[F.lit(x) for t in sorted(stats) for x in (t, stats[t]["idf"])]
@@ -259,7 +338,9 @@ class SearchEngine:
             if scorer == "bm25"
             else tfidf_partial_expr(F.col("tf"))
         )
-        return self._exploded_postings(terms).withColumn(
+        return self._exploded_postings(
+            terms, block_thresh=block_thresh, scorer=scorer
+        ).withColumn(
             "score", partial * F.element_at(idf_map, F.col("term"))
         )
 
@@ -364,7 +445,7 @@ class SearchEngine:
         ordered = sorted(terms, key=lambda t: stats[t][ub_key])
 
         # phase 1 (driver metadata only, NO Spark job): theta lower bound
-        # from the per-block maxima the build persisted
+        # from the top-K block maxima the build persisted (block_summary)
         theta = self._theta_from_blocks(terms, scorer, k)
 
         # phase 2: essential/non-essential split by cumulative ub
@@ -376,7 +457,25 @@ class SearchEngine:
         if not essential:  # defensive: can't happen (top term ub >= theta)
             essential = [ordered[-1]]
 
-        scored = self._scored(terms, stats, scorer)
+        # phase 3: block-max pruning of the SCORING scan itself (the
+        # distributed form of block-max-WAND skipping). A doc d in block
+        # B of term t has score(d) <= block_max_t(B) + sum(ub of the
+        # OTHER query terms); when that bound is < theta, d cannot reach
+        # the top-k — and d's computed score (missing at most pruned-
+        # block contributions, all positive) stays < theta too, so the
+        # theta pre-filter below removes it. Docs whose true score >=
+        # theta by the same bound appear ONLY in unpruned blocks, so
+        # their scores are computed exactly: rank-identical to DAAT.
+        # JVM-side filter on the per-block max column => parquet skips
+        # the pruned blocks' array/blob columns entirely.
+        block_thresh = None
+        if theta > 0.0:
+            block_thresh = {
+                t: theta - (cum - stats[t][ub_key]) for t in terms
+            }
+        scored = self._scored(
+            terms, stats, scorer, block_thresh=block_thresh
+        )
         ess_df = sum(stats[t]["df"] for t in essential)
         total_df = sum(stats[t]["df"] for t in terms)
         if len(essential) < len(terms) and ess_df <= self.PRUNE_RATIO * total_df:
@@ -388,6 +487,7 @@ class SearchEngine:
             scored = scored.join(candidates, "doc_id", "left_semi")
         per_doc = self._sum_scores(scored, terms).drop("n_terms")
         # theta is a LOWER bound on the kth final score: safe pre-filter
+        # (REQUIRED for exactness whenever block_thresh pruned anything)
         if theta > 0.0:
             per_doc = per_doc.filter(F.col("score") >= F.lit(theta))
         return self._topk(per_doc, k)
@@ -424,7 +524,8 @@ class SearchEngine:
             F.col(bm_col) >= F.element_at(thresh_map, F.col("term"))
         )
         if self.config.compression:
-            return _decode_blocks(blocks).select("doc_id")
+            # doc_lens dropped pre-decode: candidates only need doc_id
+            return _decode_blocks(blocks.drop("doc_lens")).select("doc_id")
         return blocks.select(F.explode("doc_ids").alias("doc_id"))
 
     # ---------- phrase queries (positional index; beyond-reference) ----------
@@ -458,8 +559,11 @@ class SearchEngine:
             t[: self.config.term_dim]
             for t in tokenize_doc_py(phrase, self.config)
         ]
+        # phrase_tf is int in BOTH the empty and populated paths (the
+        # scored path casts to int below) so callers can union/compare
+        # schemas regardless of whether the phrase matched
         empty = self.spark.createDataFrame(
-            [], "rank int, doc_id long, score double, phrase_tf long"
+            [], "rank int, doc_id long, score double, phrase_tf int"
         )
         if not terms:
             return empty
@@ -509,10 +613,16 @@ class SearchEngine:
         partial = bm25_partial_expr(
             F.col("phrase_tf"), F.col("doc_len"), self.stats["avgdl"], cfg.k1, cfg.b
         )
-        # phrase df via an unbounded window: the matching-doc set is
-        # tiny (it already passed the positional intersection)
-        w_all = Window.partitionBy()
-        scored = scored.withColumn("phrase_df", F.count("*").over(w_all))
+        # phrase df as a 1-row count aggregate broadcast-cross-joined
+        # back onto the matches. An unbounded Window.partitionBy() would
+        # compute the same value but funnel EVERY matching doc through
+        # one task — a serialization point for a high-df phrase (any
+        # 2-gram of common code tokens at web scale); the agg keeps the
+        # count partial/map-side and the join adds one scalar per row.
+        phrase_df_row = scored.agg(
+            F.count("*").cast("long").alias("phrase_df")
+        )
+        scored = scored.crossJoin(F.broadcast(phrase_df_row))
         idf = F.log10(F.lit(float(self.stats["n_docs"])) / F.col("phrase_df"))
         per_doc = scored.select(
             "doc_id", (partial * idf).alias("score"), "phrase_tf"
@@ -600,10 +710,19 @@ class SearchEngine:
         )
         if mode == "conjunctive":
             per = per.filter(F.col("n_hit") == F.col("n_q_terms"))
-        if algo == "maxscore" and len(all_terms) <= self.MAX_TERM_PREDICATE:
-            # per-query theta pre-filters (driver block-metadata reads
-            # scale with |terms|, so huge query sets skip them — the
-            # result is exact either way)
+        if (
+            algo == "maxscore"
+            and mode != "conjunctive"
+            and len(all_terms) <= self.MAX_TERM_PREDICATE
+        ):
+            # per-query theta pre-filters (bounded driver reads via the
+            # block_summary stage; huge query sets still skip them — the
+            # result is exact either way). NEVER under conjunctive mode:
+            # theta lower-bounds the k-th DISJUNCTIVE score, achieved by
+            # docs that need not contain all query terms, so the k-th
+            # CONJUNCTIVE score can sit below it and the filter would
+            # drop valid rows — matching search()'s dispatch, which
+            # routes conjunctive queries past MaxScore entirely.
             thetas = {
                 qid: self._theta_from_blocks(
                     [t for t in ts if t in stats], scorer, k
@@ -631,24 +750,48 @@ class SearchEngine:
 
 
 def _decode_blocks(blocks: DataFrame) -> DataFrame:
-    """mapInPandas decoder for compressed blocks -> (term, doc_id, tf)."""
+    """mapInPandas decoder for compressed blocks -> (term, doc_id, tf
+    [, doc_len]). Fully vectorized per Arrow batch: the codecs return
+    numpy arrays which are np.concatenate'd into ONE output frame per
+    batch (the term column via np.repeat) — no per-block-row pandas
+    DataFrame allocation, which on a big compressed query was millions
+    of tiny frames. Input is column-pruned to exactly the decoder's
+    needs so the parquet scan skips block metadata columns."""
+    import numpy as np
+
     from ..functions import codecs
+
+    has_dl = "doc_lens" in blocks.columns
+    cols = ["term", "n_postings", "doc_ids_vb", "tfs_unary"] + (
+        ["doc_lens"] if has_dl else []
+    )
+    schema = "term string, doc_id long, tf int" + (
+        ", doc_len int" if has_dl else ""
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                ids = codecs.vbyte_decode(row.doc_ids_vb)
-                tfs = codecs.unary_decode(row.tfs_unary, row.n_postings)
-                outs.append(
-                    pd.DataFrame(
-                        {"term": row.term, "doc_id": ids, "tf": tfs.astype("int32")}
-                    )
-                )
-            yield pd.concat(outs) if outs else pd.DataFrame(
-                {"term": pd.Series(dtype="str"),
-                 "doc_id": pd.Series(dtype="int64"),
-                 "tf": pd.Series(dtype="int32")}
+            if len(pdf) == 0:
+                continue
+            ids = [codecs.vbyte_decode(b) for b in pdf["doc_ids_vb"]]
+            tfs = [
+                codecs.unary_decode(b, n)
+                for b, n in zip(pdf["tfs_unary"], pdf["n_postings"])
+            ]
+            counts = np.fromiter(
+                (len(a) for a in ids), dtype=np.int64, count=len(ids)
             )
+            out = {
+                "term": np.repeat(pdf["term"].to_numpy(), counts),
+                "doc_id": np.concatenate(ids) if ids else np.empty(0, np.int64),
+                "tf": (
+                    np.concatenate(tfs) if tfs else np.empty(0, np.int64)
+                ).astype("int32"),
+            }
+            if has_dl:
+                out["doc_len"] = np.concatenate(
+                    [np.asarray(a, dtype=np.int32) for a in pdf["doc_lens"]]
+                )
+            yield pd.DataFrame(out)
 
-    return blocks.mapInPandas(gen, "term string, doc_id long, tf int")
+    return blocks.select(*cols).mapInPandas(gen, schema)

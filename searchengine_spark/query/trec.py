@@ -18,6 +18,37 @@ from pyspark.sql import functions as F
 from .engine import SearchEngine
 
 
+def read_query_tsv(path: str) -> list[tuple[str, str]]:
+    """S2 query-set scan: ``qid\\ttext`` lines -> (qid, text) pairs.
+    Blank lines and lines without a tab are skipped — the reference
+    ignores malformed query lines the same way
+    (TestPerformance.java:63-70)."""
+    queries: list[tuple[str, str]] = []
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or "\t" not in line:
+                continue
+            qid, text = line.split("\t", 1)
+            queries.append((qid, text))
+    return queries
+
+
+def parse_trec_run(path: str) -> list[tuple[str, str, str, int, float, str]]:
+    """Inverse of :func:`write_trec_run`: parse run-file lines back to
+    (query_id, 'Q0', docno, rank, score, run_id) tuples — the round-trip
+    that pins the sink's on-disk format."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) != 6:
+                continue
+            qid, q0, docno, rank, score, run_id = parts
+            rows.append((qid, q0, docno, int(rank), float(score), run_id))
+    return rows
+
+
 def trec_run_df(
     engine: SearchEngine,
     queries: Sequence[tuple[str, str]],

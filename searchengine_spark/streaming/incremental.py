@@ -53,12 +53,23 @@ CORPUS_SCHEMA = T.StructType(
 
 
 def stream_corpus(
-    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 64
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int = 64,
+    with_event_time: bool = False,
 ) -> DataFrame:
     """readStream of canonical corpus rows from a parquet directory —
-    ``maxFilesPerTrigger`` bounds micro-batch size (backpressure)."""
+    ``maxFilesPerTrigger`` bounds micro-batch size (backpressure).
+    ``with_event_time`` additionally reads an ``event_time`` timestamp
+    column; when present it defines "latest" for same-file re-ingests
+    that land in ONE micro-batch (see :meth:`StreamingIndexer.compact`)."""
+    schema = CORPUS_SCHEMA
+    if with_event_time:
+        schema = T.StructType(
+            CORPUS_SCHEMA.fields + [T.StructField("event_time", T.TimestampType())]
+        )
     return (
-        spark.readStream.schema(CORPUS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
@@ -128,24 +139,34 @@ class StreamingIndexer:
         doct_dir = os.path.join(
             self.index_dir, "doctable_segments", f"batch_id={batch_id}"
         )
+        doct_cols = [
+            F.col("doc_id"),
+            F.concat_ws("/", "repo", "path").alias("docno"),
+            F.col("repo"), F.col("path"), F.col("commit"), F.col("lang"),
+            F.col("doc_len"), F.col("sha256"),
+        ]
+        if "event_time" in tokenized.columns:
+            # carried through so compact(latest_only) can order same-file
+            # re-ingests that arrive within ONE micro-batch by real time
+            doct_cols.append(F.col("event_time"))
         (
-            tokenized.select(
-                "doc_id",
-                F.concat_ws("/", "repo", "path").alias("docno"),
-                "repo", "path", "commit", "lang", "doc_len", "sha256",
-            )
+            tokenized.select(*doct_cols)
             .write.mode("overwrite")
             .parquet(doct_dir)
         )
 
         seg_dir = os.path.join(self.index_dir, "segments", f"batch_id={batch_id}")
+        # posexplode keeps the post-pipeline token index: ignored by the
+        # tf aggregation, feeds the optional positional segment below
         exploded = stem_terms(
             tokenized.select(
-                "doc_id", "doc_len", F.explode("tokens").alias("raw")
+                "doc_id", "doc_len", F.posexplode("tokens").alias("pos", "raw")
             ),
             cfg,
             raw_col="raw",
         )
+        if cfg.positions:
+            exploded = exploded.persist()
         (
             exploded.groupBy("term", "doc_id", "doc_len")
             .agg(F.count("*").cast("int").alias("tf"))
@@ -153,6 +174,22 @@ class StreamingIndexer:
             .write.mode("overwrite")
             .parquet(seg_dir)
         )
+        if cfg.positions:
+            # positional segment, same shape as the batch builder's
+            # positions stage rows (minus term_bucket, added at compact)
+            pos_dir = os.path.join(
+                self.index_dir, "positions_segments", f"batch_id={batch_id}"
+            )
+            (
+                exploded.groupBy("term", "doc_id")
+                .agg(
+                    F.sort_array(F.collect_list("pos")).alias("positions"),
+                    F.first("doc_len").alias("doc_len"),
+                )
+                .write.mode("overwrite")
+                .parquet(pos_dir)
+            )
+            exploded.unpersist()
 
         n_docs = tokenized.count()
         tokenized.unpersist()
@@ -198,22 +235,45 @@ class StreamingIndexer:
 
         ``latest_only`` gives UPSERT semantics for re-ingested files: when
         the stream saw the same (repo, path) more than once (a new commit
-        of a file), only the latest ingest — the highest doc_id, since
-        ids are monotone in ingest order — survives into the compacted
+        of a file), only the latest ingest survives into the compacted
         index; superseded versions' doctable rows AND postings are
         dropped, so df/cf/idf/avgdl all reflect the live corpus only.
+        "Latest" = highest doc_id ACROSS batches (ids are monotone in
+        batch order via the high-water mark). WITHIN one micro-batch a
+        parquet source has no arrival order, so re-ingests landing in
+        the same batch are ordered by the ``event_time`` column when the
+        stream carries one (``stream_corpus(with_event_time=True)``),
+        falling back to doc_id order — which within a batch is the
+        natural key's (repo, path, commit) lexicographic order, i.e.
+        deterministic but NOT temporal. Ship event_time when same-file
+        same-batch re-ingests are possible.
         The winner-selection is one max-aggregate + two broadcastable
-        semi-joins over doc_id — no read-modify-write of any segment."""
-        from ..index.builder import IndexBuilder
+        semi-joins over doc_id — no read-modify-write of any segment.
+
+        With ``EngineConfig.positions=True`` the per-batch positional
+        segments (written by process_batch under the same config) are
+        merged into the compacted ``positions`` table, so phrase queries
+        work on streaming-built indexes; compacting a positions-enabled
+        config over segments ingested WITHOUT positions raises instead
+        of crashing inside the batch builder."""
+        from ..index.builder import IndexBuilder, term_bucket_expr
 
         out = (out_dir or os.path.join(self.index_dir, "compacted")).rstrip("/")
         seg_root = os.path.join(self.index_dir, "segments")
         doct_root = os.path.join(self.index_dir, "doctable_segments")
+        pos_root = os.path.join(self.index_dir, "positions_segments")
         if not (os.path.isdir(seg_root) and os.path.isdir(doct_root)):
             raise RuntimeError(
                 "compact() called before any micro-batch was processed: "
                 f"no segment directories under {self.index_dir!r} "
                 "(run the stream first, or check the input path)"
+            )
+        if self.config.positions and not os.path.isdir(pos_root):
+            raise RuntimeError(
+                "positional compaction requested (EngineConfig.positions) "
+                "but the ingested segments carry no positions: re-ingest "
+                "with a positions-enabled StreamingIndexer, or compact "
+                "with positions=False"
             )
 
         tf = self.spark.read.option("basePath", seg_root).parquet(seg_root).drop(
@@ -224,12 +284,30 @@ class StreamingIndexer:
             .parquet(doct_root)
             .drop("batch_id")
         )
+        pos = None
+        if self.config.positions:
+            pos = (
+                self.spark.read.option("basePath", pos_root)
+                .parquet(pos_root)
+                .drop("batch_id")
+            )
         if latest_only:
-            winners = doct.groupBy("repo", "path").agg(
-                F.max("doc_id").alias("doc_id")
-            ).select("doc_id")
+            if "event_time" in doct.columns:
+                # (event_time, doc_id) max: real ingest time decides
+                # within-batch re-ingests, doc_id (= batch order) the rest
+                winners = (
+                    doct.groupBy("repo", "path")
+                    .agg(F.max(F.struct("event_time", "doc_id")).alias("w"))
+                    .select(F.col("w.doc_id").alias("doc_id"))
+                )
+            else:
+                winners = doct.groupBy("repo", "path").agg(
+                    F.max("doc_id").alias("doc_id")
+                ).select("doc_id")
             doct = doct.join(winners, "doc_id", "left_semi")
             tf = tf.join(winners, "doc_id", "left_semi")
+            if pos is not None:
+                pos = pos.join(winners, "doc_id", "left_semi")
 
         builder = IndexBuilder(self.spark, out, self.config)
         manifest = {"stages": {}}
@@ -237,13 +315,33 @@ class StreamingIndexer:
         self.config.save(out)
 
         t0 = time.time()
-        doct.write.mode("overwrite").parquet(os.path.join(out, "doctable"))
+        doct.drop("event_time").write.mode("overwrite").parquet(
+            os.path.join(out, "doctable")
+        )
         builder._finish_stage(manifest, "doctable", t0)
 
         t0 = time.time()
         tf.write.mode("overwrite").parquet(os.path.join(out, "tf"))
         builder._finish_stage(manifest, "tf", t0)
 
-        # remaining stages (stats, lexicon, postings) via the batch path:
-        # corpus arg is unused because doctable/tf already exist on disk.
+        if pos is not None:
+            # same layout as the batch builder's positions stage:
+            # bucket-partitioned so phrase queries partition-prune
+            t0 = time.time()
+            (
+                pos.withColumn(
+                    "term_bucket",
+                    term_bucket_expr(F.col("term"), self.config.n_term_buckets),
+                )
+                .repartition(self.config.shuffle_partitions, "term_bucket")
+                .sortWithinPartitions("term", "doc_id")
+                .write.mode("overwrite")
+                .partitionBy("term_bucket")
+                .parquet(os.path.join(out, "positions"))
+            )
+            builder._finish_stage(manifest, "positions", t0)
+
+        # remaining stages (stats, lexicon, postings, block_summary) via
+        # the batch path: corpus arg is unused because doctable/tf (and
+        # positions, when enabled) already exist on disk + in manifest.
         return builder.build(corpus=None, resume=True)

@@ -53,8 +53,8 @@ def test_compressed_index_same_results(spark, engine, compressed_dir):
 
 
 def test_compressed_batch_and_maxscore_paths(spark, engine, compressed_dir):
-    """The codec decode path must also back the batch join (doctable
-    re-join for doc_len) and MaxScore's block-pruned candidate scan."""
+    """The codec decode path must also back the batch join (in-row
+    doc_lens since r3) and MaxScore's block-pruned candidate scan."""
     ce = SearchEngine(spark, compressed_dir)
     qs = [(f"q{i}", q) for i, q in enumerate(QUERIES[:3])]
     raw = engine.batch_search(qs, k=10).orderBy("query_id", "rank").collect()
