@@ -485,6 +485,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "k long, n_probe long, n_lists long, recall_ok boolean",
         )
 
+    def retrieval_effectiveness(spark, sf):
+        # the reference's §5 evaluation loop (TestPerformance -> external
+        # trec_eval) natively: batch run x deterministic synthetic qrels
+        # (qrels for query i = docs with doc_id % 5 == i, graded rel =
+        # 1 + doc_id % 3 — pure arithmetic, reproduced verbatim in SQL)
+        # -> per-query RR and nDCG@10, both order-deterministic folds
+        from searchengine_spark.query.metrics import ndcg_at_k, reciprocal_rank
+
+        eng = _engine(spark, sf)
+        run = eng.batch_search(BATCH_QUERIES, k=10)
+        doct = eng.doctable.select("doc_id")
+        parts = [
+            doct.filter(F.col("doc_id") % 5 == i).select(
+                F.lit(qid).alias("query_id"),
+                "doc_id",
+                (F.lit(1) + F.col("doc_id") % 3).cast("int").alias("rel"),
+            )
+            for i, (qid, _) in enumerate(BATCH_QUERIES)
+        ]
+        qrels = parts[0]
+        for p in parts[1:]:
+            qrels = qrels.unionByName(p)
+        rr = reciprocal_rank(run, qrels)
+        nd = ndcg_at_k(run, qrels, k=10)
+        return rr.join(nd, "query_id").select(
+            "query_id",
+            F.round("rr", 6).alias("rr"),
+            F.round("ndcg", 6).alias("ndcg"),
+        )
+
+    def trec_run_roundtrip(spark, sf):
+        # S2 + S10 under the oracle: write the query set as a qid\ttext
+        # TSV, parse it back (the CLI's scan), run the one-job batch,
+        # write the six-column TREC run file, parse THAT back and hash
+        # the parsed rows — pins both I/O formats end-to-end
+        import tempfile
+
+        from searchengine_spark.query.trec import (
+            parse_trec_run,
+            read_query_tsv,
+            trec_run_df,
+            write_trec_run,
+        )
+
+        eng = _engine(spark, sf)
+        tmp = tempfile.mkdtemp(prefix="se_entry_trec_")
+        qpath = os.path.join(tmp, "queries.tsv")
+        with open(qpath, "w") as f:
+            f.write("\n")  # blank line: must be skipped
+            for qid, text in BATCH_QUERIES:
+                f.write(f"{qid}\t{text}\n")
+            f.write("malformed-no-tab\n")  # must be skipped
+        queries = read_query_tsv(qpath)
+        run = trec_run_df(eng, queries, k=10, run_id="RUN-01")
+        rpath = os.path.join(tmp, "run.txt")
+        write_trec_run(run, rpath)
+        rows = parse_trec_run(rpath)
+        return spark.createDataFrame(
+            rows,
+            "query_id string, q0 string, docno string, rank long, "
+            "score double, run_id string",
+        )
+
     def embedding_cosine_topk_lsh(spark, sf):
         # materialized banded-LSH probe; the DuckDB oracle reproduces the
         # ENTIRE pipeline (signatures from literal hyperplanes, band
@@ -531,6 +594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": phrase_topk,
         "batch_topk": batch_topk,
         "dedup_near_groups": dedup_near_groups,
+        "retrieval_effectiveness": retrieval_effectiveness,
+        "trec_run_roundtrip": trec_run_roundtrip,
     }
 
 
@@ -965,10 +1030,72 @@ ORDER BY score DESC, doc_id
 LIMIT 10
 """
 
-    sql["batch_topk"] = "\nUNION ALL\n".join(
+    _batch_union = "\nUNION ALL\n".join(
         f"SELECT '{qid}' AS query_id, * FROM ({_topk_sql(text)})"
         for qid, text in BATCH_QUERIES
     )
+    sql["batch_topk"] = _batch_union
+
+    # synthetic graded qrels (query i judges docs with doc_id % 5 == i,
+    # rel = 1 + doc_id % 3) -> per-query RR + nDCG@10 over the batch run.
+    # DCG/IDCG sums are ORDER BY rank — ulp-identical to the engine's
+    # rank-ordered fold.
+    _qrels_vals = ", ".join(
+        f"('{qid}', {i})" for i, (qid, _) in enumerate(BATCH_QUERIES)
+    )
+    sql["retrieval_effectiveness"] = f"""
+WITH {_BASE_CTES},
+run AS ({_batch_union}),
+qrels AS (
+  SELECT v.query_id, b.doc_id, CAST(1 + b.doc_id % 3 AS INT) AS rel
+  FROM base b CROSS JOIN (VALUES {_qrels_vals}) v(query_id, idx)
+  WHERE b.doc_id % 5 = v.idx
+),
+hits AS (
+  SELECT r.query_id, 1.0 / min(r.rank) AS rr
+  FROM run r JOIN qrels q ON q.query_id = r.query_id AND q.doc_id = r.doc_id
+  GROUP BY r.query_id
+),
+allq AS (SELECT DISTINCT query_id FROM qrels),
+dcg AS (
+  SELECT r.query_id,
+         sum((pow(2.0, q.rel) - 1) / log2(r.rank + 1.0) ORDER BY r.rank)
+           AS dcg
+  FROM run r JOIN qrels q ON q.query_id = r.query_id AND q.doc_id = r.doc_id
+  WHERE r.rank <= 10
+  GROUP BY r.query_id
+),
+ideal AS (
+  SELECT query_id,
+         sum((pow(2.0, rel) - 1) / log2(irank + 1.0) ORDER BY irank) AS idcg
+  FROM (
+    SELECT query_id, CAST(rel AS DOUBLE) AS rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, doc_id) AS irank
+    FROM qrels
+  )
+  WHERE irank <= 10
+  GROUP BY query_id
+)
+SELECT a.query_id,
+       round(coalesce(h.rr, 0.0), 6) AS rr,
+       round(coalesce(d.dcg, 0.0) / i.idcg, 6) AS ndcg
+FROM allq a
+LEFT JOIN hits h USING (query_id)
+JOIN ideal i USING (query_id)
+LEFT JOIN dcg d USING (query_id)
+"""
+
+    # TREC run round-trip: the file carries scores as %.6f strings; the
+    # engine's written score is round(score, 6) exactly (a 6-decimal
+    # double formats to itself and parses back bit-identically)
+    sql["trec_run_roundtrip"] = f"""
+WITH {_BASE_CTES},
+run AS ({_batch_union})
+SELECT run.query_id, 'Q0' AS q0, b.repo || '/' || b.path AS docno,
+       run.rank, run.score, 'RUN-01' AS run_id
+FROM run JOIN base b USING (doc_id)
+"""
 
     sql["multimodal_features"] = f"""
 WITH {_BASE_CTES}

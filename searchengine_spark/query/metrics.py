@@ -42,18 +42,34 @@ def ndcg_at_k(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
         "query_id", "doc_id", F.col("rel").cast("double").alias("rel")
     )
     gain = (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
-    dcg = (
+
+    def _rank_ordered_sum(df, rank_col, alias):
+        # ORDER-DETERMINISTIC sum: fold the <=k addends in rank order
+        # (same trick as the engine's per-term score fold) so the value
+        # is bit-identical at any parallelism — and ulp-exact against a
+        # DuckDB ``sum(... ORDER BY rank)`` oracle.
+        return df.groupBy("query_id").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(rank_col, "g"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["g"],
+            ).alias(alias)
+        )
+
+    dcg = _rank_ordered_sum(
         run.filter(F.col("rank") <= k)
         .join(graded, ["query_id", "doc_id"])
-        .groupBy("query_id")
-        .agg(F.sum(gain / F.log2(F.col("rank") + 1.0)).alias("dcg"))
+        .withColumn("g", gain / F.log2(F.col("rank") + 1.0)),
+        "rank",
+        "dcg",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
-    ideal = (
+    ideal = _rank_ordered_sum(
         graded.withColumn("irank", F.row_number().over(w))
         .filter(F.col("irank") <= k)
-        .groupBy("query_id")
-        .agg(F.sum(gain / F.log2(F.col("irank") + 1.0)).alias("idcg"))
+        .withColumn("g", gain / F.log2(F.col("irank") + 1.0)),
+        "irank",
+        "idcg",
     )
     return ideal.join(dcg, "query_id", "left").select(
         "query_id",
