@@ -197,36 +197,32 @@ class IndexBuilder:
         need_tf = not self._stage_done(manifest, "tf")
         need_pos = cfg.positions and not self._stage_done(manifest, "positions")
         if need_doct or need_tf or need_pos:
-            # ONE pass over the raw input: tokenize before doc_id
-            # assignment and persist, so assign_doc_ids' two driver jobs
-            # (boundary sample, range counts) and both stage writes all
-            # read the cached frame instead of re-scanning + re-tokenizing
-            # the corpus (4 full input passes -> 1; at 1e12 rows the extra
-            # passes, not CPU, would dominate the build).
-            # Match scan parallelism to the cluster: a small input (one
-            # parquet file at test scale; at 100 TB, fewer splits than
-            # cores can still happen after partition pruning) would
-            # otherwise run the whole tokenize chain in ONE task.
+            # ONE full-data pass, ONE full-data shuffle, ONE cache:
+            # assign_doc_ids' driver jobs (row count, boundary sample,
+            # per-range counts) run against the RAW source, where they are
+            # column-pruned parquet reads of the 3 key columns (the count
+            # is footer metadata only) — never against a tokenized cache.
+            # The doc-id range shuffle then carries raw content exactly
+            # once, and tokenization + sha256 run AFTER it, in the same
+            # stage that materializes the cache — so the cached frame
+            # (everything doctable/tf/positions need) drops the raw
+            # content column entirely: at 100 TB the cache is the token
+            # arrays, not a second copy of the corpus.
             src = filter_malformed(corpus)
-            if src.rdd.getNumPartitions() < cfg.shuffle_partitions:
-                src = src.repartition(cfg.shuffle_partitions)
             # T1-T8 are native Column expressions (JVM, codegen). Stemming
             # (T9) deliberately does NOT run here: per-token Python — even
             # Arrow-batched — is the slow path; it's applied
             # dictionary-style over the distinct vocabulary below, so
             # Python cost scales with |vocab|, not |tokens|.
-            pretok = (
-                with_sha256(src)
-                .withColumn("tokens_raw", tokenize_raw(F.col("content"), cfg))
-                .persist()
-            )
             # doc_len counts post-stopword tokens; stemming (1:1) and
             # truncation don't change it (PartialIndexBuilder.java:63)
-            tokenized = assign_doc_ids(pretok).withColumn(
-                "doc_len", F.size("tokens_raw")
+            tokenized = (
+                with_sha256(assign_doc_ids(src))
+                .withColumn("tokens_raw", tokenize_raw(F.col("content"), cfg))
+                .withColumn("doc_len", F.size("tokens_raw"))
+                .drop("content")
+                .persist()
             )
-            if need_doct and need_tf:
-                tokenized = tokenized.persist()
 
             if need_doct:
                 t0 = time.time()
@@ -299,7 +295,6 @@ class IndexBuilder:
             if need_tf and need_pos:
                 exploded.unpersist()
             tokenized.unpersist()
-            pretok.unpersist()
 
         doctable = self.spark.read.parquet(os.path.join(self.index_dir, "doctable"))
 
@@ -418,6 +413,7 @@ class IndexBuilder:
                 joined.groupBy("term", "block_id")
                 .agg(
                     F.count("*").alias("n_postings"),
+                    F.min("doc_id").alias("min_doc_id"),
                     F.max("doc_id").alias("max_doc_id"),
                     F.sort_array(
                         F.collect_list(F.struct("doc_id", "tf", "doc_len"))
@@ -429,6 +425,11 @@ class IndexBuilder:
                     "term",
                     "block_id",
                     F.col("n_postings").cast("int").alias("n_postings"),
+                    # the block's doc_id range [min_doc_id, max_doc_id] is
+                    # the distributed skip pointer (SkipList.java:24-46):
+                    # MaxScore's candidate-directed scan keeps only blocks
+                    # whose range intersects a candidate doc_id (nextGEQ)
+                    "min_doc_id",
                     "max_doc_id",
                     F.col("plist.doc_id").alias("doc_ids"),
                     F.col("plist.tf").alias("tfs"),
@@ -453,63 +454,74 @@ class IndexBuilder:
                 manifest, "postings", t0, {"block_mode": cfg.block_mode}
             )
 
-        # --- stage 6: per-term block-maxima summary ---
-        # MaxScore's theta bootstrap needs each query term's k largest
-        # per-block maxima. Reading them from the postings metadata is
-        # O(#blocks) per term — unbounded for a stopword-scale term (1e9
-        # postings => ~1e6 block rows in range mode). This stage persists
-        # only the TOP-THETA_TOPK maxima per term (K=100 covers every
-        # reference k in {10,20,100}), so the query-time driver read is
-        # O(|terms| * K) regardless of posting-list length. Row count ==
-        # lexicon row count; the pre-rank window ships (term, double)
-        # pairs only, never posting payloads.
+        # --- stage 6: per-term top-K POSTING-score summary ---
+        # MaxScore's theta bootstrap wants, for each query term, a lower
+        # bound on the k-th best FINAL score. Within one term every
+        # posting is a distinct doc, so the term's k-th largest
+        # single-posting score is achieved by k distinct docs — a valid
+        # bound, and it DOMINATES the k-th largest block max (each block
+        # max is itself one posting's score), which is what r2 stored.
+        # The difference decides real queries: a rare term (df 20-1000)
+        # has < k skip blocks, so the block form bounds nothing and theta
+        # collapses to the common terms' noise floor; the posting form
+        # yields ~the rare term's idf-scale score and prunes the common
+        # lists outright.
+        #
+        # Computed with a SALTED two-phase top-K so no aggregation buffer
+        # ever holds a full hot posting list: phase 1 groups by
+        # (term, salt) with salt fanout df/65536 (a stopword-scale term
+        # with 1e9 postings becomes ~15k bounded-size groups), phase 2
+        # merges the per-salt top-K arrays (<= fanout * K doubles per
+        # term). Query-time driver read stays O(|terms| * K).
         if not self._stage_done(manifest, "block_summary"):
             t0 = time.time()
             post = self.spark.read.parquet(
                 os.path.join(self.index_dir, "postings")
             )
-            wb = Window.partitionBy("term").orderBy(
-                F.desc("block_max_bm25"), F.asc("block_id")
+            bm25_p = bm25_partial_expr(
+                F.col("tf"), F.col("doc_len"), avgdl, cfg.k1, cfg.b
             )
-            wt = Window.partitionBy("term").orderBy(
-                F.desc("block_max_tfidf"), F.asc("block_id")
+            tfidf_p = tfidf_partial_expr(F.col("tf"))
+            scored = (
+                tf.join(
+                    F.broadcast(lexicon.select("term", "df", "idf")), "term"
+                )
+                .select(
+                    "term",
+                    (bm25_p * F.col("idf")).alias("_sb"),
+                    (tfidf_p * F.col("idf")).alias("_st"),
+                    F.pmod(
+                        F.xxhash64("doc_id"),
+                        F.greatest(
+                            F.ceil(F.col("df") / F.lit(65536)), F.lit(1)
+                        ),
+                    ).alias("_salt"),
+                )
             )
-            ranked = post.select(
-                "term", "block_id", "block_max_bm25", "block_max_tfidf"
-            ).select(
-                "term",
-                "block_max_bm25",
-                "block_max_tfidf",
-                F.row_number().over(wb).alias("_rb"),
-                F.row_number().over(wt).alias("_rt"),
-            ).filter(
-                (F.col("_rb") <= THETA_TOPK) | (F.col("_rt") <= THETA_TOPK)
+
+            def topk_arr(col: str):
+                return F.slice(
+                    F.sort_array(F.collect_list(F.col(col)), asc=False),
+                    1,
+                    THETA_TOPK,
+                )
+
+            partial = scored.groupBy("term", "_salt").agg(
+                topk_arr("_sb").alias("_pb"), topk_arr("_st").alias("_pt")
             )
             summary = (
-                ranked.groupBy("term")
+                partial.groupBy("term")
                 .agg(
                     F.slice(
-                        F.sort_array(
-                            F.collect_list(
-                                F.when(F.col("_rb") <= THETA_TOPK,
-                                       F.col("block_max_bm25"))
-                            ),
-                            asc=False,
-                        ),
+                        F.sort_array(F.flatten(F.collect_list("_pb")), asc=False),
                         1,
                         THETA_TOPK,
-                    ).alias("top_block_max_bm25"),
+                    ).alias("top_post_bm25"),
                     F.slice(
-                        F.sort_array(
-                            F.collect_list(
-                                F.when(F.col("_rt") <= THETA_TOPK,
-                                       F.col("block_max_tfidf"))
-                            ),
-                            asc=False,
-                        ),
+                        F.sort_array(F.flatten(F.collect_list("_pt")), asc=False),
                         1,
                         THETA_TOPK,
-                    ).alias("top_block_max_tfidf"),
+                    ).alias("top_post_tfidf"),
                 )
                 .withColumn(
                     "term_bucket",
@@ -518,7 +530,7 @@ class IndexBuilder:
             )
             # n_block_rows: ACTUAL block-row count (range mode can leave
             # planned blocks empty, so lexicon.n_blocks is only an upper
-            # bound) — theta needs >= k real blocks before using arr[k-1]
+            # bound) — kept for the engine's block-metadata fallback path
             n_rows = post.groupBy("term").agg(
                 F.count("*").cast("int").alias("n_block_rows")
             )
@@ -561,6 +573,7 @@ def _compress_blocks(blocks: DataFrame) -> DataFrame:
         "term_bucket",
         "block_id",
         "n_postings",
+        "min_doc_id",
         "max_doc_id",
         vb(F.col("doc_ids")).alias("doc_ids_vb"),
         un(F.col("tfs")).alias("tfs_unary"),

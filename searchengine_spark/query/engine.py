@@ -230,20 +230,25 @@ class SearchEngine:
     ) -> float:
         """Lower bound on the k-th best final score, from metadata alone.
 
-        For one term, blocks partition disjoint doc_id ranges and each
-        block's max is achieved by some doc in it, so the k-th largest
-        block max is achieved by k DISTINCT docs via their single-term
-        scores — and every partial score is positive (idf > 0 because
-        df <= true_docs < n_docs under Q-1 inflation), so final scores
-        only exceed them. Terms with fewer than k blocks contribute no
-        bound (0.0). The best bound over the query's terms is returned.
+        Preferred form (index >= r3): the k-th largest single-POSTING
+        score of any one query term. Within one term each posting is a
+        distinct doc, so its top-k posting scores are achieved by k
+        DISTINCT docs — and every partial score is positive (idf > 0
+        because df <= true_docs < n_docs under Q-1 inflation), so final
+        scores only exceed them. This is the strongest bound single-term
+        metadata can give, and it is what makes a RARE query term (df in
+        [k, ~1000] — the discriminative term of a typical query) push
+        theta to its idf scale: the r2 block-max form needed >= k skip
+        blocks, which rare terms never have, so exactly the queries
+        MaxScore should win collapsed to theta ~= 0.
 
-        Maxima come from the block_summary stage (per-term top-100 rows;
-        driver read is O(|terms|*K)); k beyond the stored K, or an old
-        index without the stage, falls back to the per-block metadata
-        scan."""
+        Fallbacks, in order: per-term top-100 block maxima (r2-era
+        block_summary; the k-th block max is also achieved by k distinct
+        docs since blocks partition disjoint doc ranges), then the
+        per-block metadata scan (pre-r2 index or k > stored K)."""
         bm_key = "block_max_bm25" if scorer == "bm25" else "block_max_tfidf"
-        top_key = (
+        post_key = "top_post_bm25" if scorer == "bm25" else "top_post_tfidf"
+        blk_key = (
             "top_block_max_bm25" if scorer == "bm25" else "top_block_max_tfidf"
         )
         theta = 0.0
@@ -251,8 +256,13 @@ class SearchEngine:
         if summary:
             for t in terms:
                 row = summary.get(t)
-                if row is not None and row["n_block_rows"] >= k:
-                    theta = max(theta, row[top_key][k - 1])
+                if row is None:
+                    continue
+                top_posts = row.get(post_key)
+                if top_posts is not None and len(top_posts) >= k:
+                    theta = max(theta, top_posts[k - 1])
+                elif row.get(blk_key) is not None and row["n_block_rows"] >= k:
+                    theta = max(theta, row[blk_key][k - 1])
             return theta
         for t, blocks in self._block_maxima(terms).items():
             if len(blocks) >= k:
@@ -272,6 +282,7 @@ class SearchEngine:
         term_predicate: bool = True,
         block_thresh: Optional[dict[str, float]] = None,
         scorer: str = "bm25",
+        candidate_range: Optional[DataFrame] = None,
     ) -> DataFrame:
         """(term, doc_id, tf, doc_len) rows for the query terms only —
         bucket partition pruning + term row-group pruning feed the scan.
@@ -282,7 +293,18 @@ class SearchEngine:
         are touched: a block of term t with block_max < thresh[t] is
         skipped — parquet never reads its array/blob columns. Only exact
         when the caller also applies the theta score filter (see
-        _maxscore for the bound argument)."""
+        _maxscore for the bound argument).
+
+        ``candidate_range`` (MaxScore, few candidates): keep only blocks
+        whose [min_doc_id, max_doc_id] range contains at least one
+        candidate doc_id — the distributed nextGEQ skip
+        (PostingList.java:77-113): with c candidates, at most c blocks
+        per term are decoded no matter how long the list is. Runs as a
+        broadcast left-semi range join over block METADATA rows (n_blocks
+        ~ sqrt(df) rows per term, arrays untouched for dropped blocks).
+        Exact only when the caller then restricts scoring to the same
+        candidates — non-candidate docs in surviving blocks still ride
+        until the caller's semi join."""
         if term_predicate and len(terms) <= self.MAX_TERM_PREDICATE:
             blocks = self.postings.filter(self._bucket_filter(terms))
         else:
@@ -290,6 +312,16 @@ class SearchEngine:
                 {term_bucket_py(t, self.config.n_term_buckets) for t in terms}
             )
             blocks = self.postings.filter(F.col("term_bucket").isin(buckets))
+        if candidate_range is not None and "min_doc_id" in blocks.columns:
+            # the caller passes the SAME frame to its exact semi join, so
+            # the two F.broadcast sides canonicalize identically and
+            # ReuseExchange ships ONE broadcast job, not two
+            blocks = blocks.join(
+                F.broadcast(candidate_range),
+                (candidate_range["doc_id"] >= blocks["min_doc_id"])
+                & (candidate_range["doc_id"] <= blocks["max_doc_id"]),
+                "left_semi",
+            )
         if block_thresh:
             bm_col = "block_max_bm25" if scorer == "bm25" else "block_max_tfidf"
             thresh_map = F.create_map(
@@ -328,6 +360,7 @@ class SearchEngine:
         stats: dict,
         scorer: str,
         block_thresh: Optional[dict[str, float]] = None,
+        candidate_range: Optional[DataFrame] = None,
     ) -> DataFrame:
         cfg = self.config
         idf_map = F.create_map(
@@ -339,7 +372,10 @@ class SearchEngine:
             else tfidf_partial_expr(F.col("tf"))
         )
         return self._exploded_postings(
-            terms, block_thresh=block_thresh, scorer=scorer
+            terms,
+            block_thresh=block_thresh,
+            scorer=scorer,
+            candidate_range=candidate_range,
         ).withColumn(
             "score", partial * F.element_at(idf_map, F.col("term"))
         )
@@ -436,8 +472,19 @@ class SearchEngine:
     # anyway) would pay more than it saves — in that regime MaxScore
     # degrades to DAAT + the theta pre-filter, which is free. The same
     # cost logic is implicit in the reference: its non-essential skipping
-    # only wins when upper bounds actually exclude lists.
-    PRUNE_RATIO = 0.5
+    # only wins when upper bounds actually exclude lists. 0.25 measured
+    # best on the Zipf bench corpus: at 0.5 a 2-equal-terms query (ess_df
+    # ~= half the postings) paid the extra candidate scan for nothing.
+    PRUNE_RATIO = 0.25
+    # additionally direct the SCAN by candidates (nextGEQ block-range
+    # semi join in _exploded_postings) when the essential lists are this
+    # small: the candidate set rides a broadcast nested-loop range join
+    # against block metadata, so it must stay ~thousands of rows. This
+    # is the regime where the reference's MaxScore wins big (a rare
+    # discriminative term + frequent terms): per common term only the
+    # ~|candidates| blocks containing candidates are decoded instead of
+    # the whole list.
+    RANGE_PRUNE_DF = 65_536
 
     def _maxscore(self, terms, stats, scorer: str, k: int) -> DataFrame:
         ub_key = "max_bm25" if scorer == "bm25" else "max_tfidf"
@@ -473,18 +520,45 @@ class SearchEngine:
             block_thresh = {
                 t: theta - (cum - stats[t][ub_key]) for t in terms
             }
-        scored = self._scored(
-            terms, stats, scorer, block_thresh=block_thresh
-        )
         ess_df = sum(stats[t]["df"] for t in essential)
         total_df = sum(stats[t]["df"] for t in terms)
-        if len(essential) < len(terms) and ess_df <= self.PRUNE_RATIO * total_df:
-            candidates = self._candidates_block_max(
+        prune = (
+            len(essential) < len(terms)
+            and ess_df <= self.PRUNE_RATIO * total_df
+        )
+        # prune implies theta > 0: ubs are strictly positive (idf > 0
+        # under Q-1 inflation, partial > 0 for tf >= 1), so a non-empty
+        # non-essential prefix needs its cumulative ub <= theta.
+        candidates = (
+            self._candidates_block_max(
                 essential, stats, scorer, theta, total_ub=cum
             )
+            if prune
+            else None
+        )
+        range_prune = prune and ess_df <= self.RANGE_PRUNE_DF
+        scored = self._scored(
+            terms,
+            stats,
+            scorer,
+            block_thresh=block_thresh,
+            # nextGEQ: with few candidates, the scoring scan itself only
+            # touches blocks whose doc_id range holds a candidate
+            candidate_range=candidates if range_prune else None,
+        )
+        if prune and not range_prune:
+            # exact candidate restriction pre-aggregation. Redundant for
+            # CORRECTNESS (the theta filter below removes every
+            # non-candidate: its true score — hence its computed score,
+            # partial sums being positive — is < theta by the block-max
+            # bound), so when the scan is already candidate-directed the
+            # join would only re-drop rows the range prune left, at the
+            # price of a second broadcast job (hash mode; the range NLJ's
+            # identity-mode broadcast can't be reused for it).
+            sem = candidates
             if ess_df <= self.BROADCAST_CANDIDATE_DF:
-                candidates = F.broadcast(candidates)
-            scored = scored.join(candidates, "doc_id", "left_semi")
+                sem = F.broadcast(sem)
+            scored = scored.join(sem, "doc_id", "left_semi")
         per_doc = self._sum_scores(scored, terms).drop("n_terms")
         # theta is a LOWER bound on the kth final score: safe pre-filter
         # (REQUIRED for exactness whenever block_thresh pruned anything)

@@ -27,40 +27,56 @@ def engine(spark, index_dir):
 def test_block_summary_rows_match_lexicon(spark, engine, index_dir):
     summ = spark.read.parquet(f"{index_dir}/block_summary")
     assert summ.count() == engine.lexicon.count()
-    row = summ.orderBy(F.desc("n_block_rows")).limit(1).collect()[0]
-    assert len(row["top_block_max_bm25"]) == min(row["n_block_rows"], THETA_TOPK)
-    # arrays are sorted descending
-    arr = row["top_block_max_bm25"]
-    assert arr == sorted(arr, reverse=True)
+    joined = summ.join(engine.lexicon.select("term", "df"), "term")
+    for row in joined.orderBy(F.desc("df")).limit(5).collect():
+        assert len(row["top_post_bm25"]) == min(row["df"], THETA_TOPK)
+        # arrays are sorted descending
+        arr = row["top_post_bm25"]
+        assert arr == sorted(arr, reverse=True)
 
 
-def test_theta_from_summary_matches_block_scan(engine):
+def test_theta_from_summary_matches_posting_scores(engine):
     """The bounded O(|terms|*K) summary read must produce EXACTLY the
-    theta the unbounded per-block metadata scan does (same build)."""
+    k-th largest single-posting score over the query terms (computed
+    here brute-force from the exploded postings), and must DOMINATE the
+    r2-era block-max bound (each block max is one posting's score)."""
     terms = engine.tokenize_query("spark table join fast value")
     stats = engine._term_stats(terms)
     terms = [t for t in terms if t in stats]
     for scorer in ("bm25", "tfidf"):
+        scored = (
+            engine._scored(terms, stats, scorer)
+            .select("term", "score")
+            .collect()
+        )
+        by_term: dict[str, list[float]] = {}
+        for r in scored:
+            by_term.setdefault(r["term"], []).append(r["score"])
+        bm_key = "block_max_bm25" if scorer == "bm25" else "block_max_tfidf"
         for k in (10, 20, 100):
             via_summary = engine._theta_from_blocks(terms, scorer, k)
-            bm_key = "block_max_bm25" if scorer == "bm25" else "block_max_tfidf"
+            brute = 0.0
+            for t, scores in by_term.items():
+                if len(scores) >= k:
+                    brute = max(brute, sorted(scores, reverse=True)[k - 1])
+            assert via_summary == pytest.approx(brute, abs=1e-12), (scorer, k)
             legacy = 0.0
             for t, blocks in engine._block_maxima(terms).items():
                 if len(blocks) >= k:
                     kth = sorted((b[bm_key] for b in blocks), reverse=True)[k - 1]
                     legacy = max(legacy, kth)
-            assert via_summary == legacy, (scorer, k)
+            assert via_summary >= legacy - 1e-12, (scorer, k)
 
 
 def test_theta_read_is_bounded(engine):
-    """The summary probe returns at most THETA_TOPK maxima per term no
-    matter how many blocks the term has."""
+    """The summary probe returns at most THETA_TOPK scores per term no
+    matter how long the posting list is."""
     terms = engine.tokenize_query("spark table join fast")
     summary = engine._block_summary(terms)
     assert summary, "block_summary stage missing from the test index"
     for t, row in summary.items():
-        assert len(row["top_block_max_bm25"]) <= THETA_TOPK
-        assert len(row["top_block_max_tfidf"]) <= THETA_TOPK
+        assert len(row["top_post_bm25"]) <= THETA_TOPK
+        assert len(row["top_post_tfidf"]) <= THETA_TOPK
 
 
 # ---------- compressed path: in-row doc_lens ----------
