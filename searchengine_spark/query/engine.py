@@ -80,6 +80,10 @@ class SearchEngine:
         self._positions_df: Optional[DataFrame] = None
         self.postings = spark.read.parquet(os.path.join(self.index_dir, "postings"))
         self.doctable = spark.read.parquet(os.path.join(self.index_dir, "doctable"))
+        # schema facts resolved ONCE (a .columns probe mid-query forces a
+        # fresh analysis pass — measurable per-query planning cost)
+        self._has_block_range = "min_doc_id" in self.postings.columns
+        self._decoded_has_doc_len = "doc_lens" in self.postings.columns
 
     def refresh(self) -> None:
         """Invalidate the per-term memo caches and re-read the index
@@ -101,6 +105,8 @@ class SearchEngine:
         self.doctable = self.spark.read.parquet(
             os.path.join(self.index_dir, "doctable")
         )
+        self._has_block_range = "min_doc_id" in self.postings.columns
+        self._decoded_has_doc_len = "doc_lens" in self.postings.columns
 
     @property
     def lexicon(self) -> DataFrame:
@@ -270,6 +276,51 @@ class SearchEngine:
                 theta = max(theta, kth)
         return theta
 
+    def _candidates_driver(
+        self, essential, stats, scorer: str, theta: float, total_ub: float
+    ):
+        """Candidate doc_ids as a DRIVER-side numpy array — the direct
+        analogue of the reference holding its essential posting lists in
+        RAM and driving nextGEQ from them (MaxScore.java:57-74). Gated by
+        the caller to small essential lists (ess_df <= RANGE_PRUNE_DF),
+        so this is a bounded bucket-pruned pyarrow read like the lexicon
+        probe (_term_stats) — NOT a Spark job: the alternative (a
+        DataFrame candidate subplan) costs one extra broadcast-exchange
+        job per query, which at local-mode overheads erases most of what
+        the pruning saves. Same block-max pruning rule as
+        _candidates_block_max."""
+        import numpy as np
+        import pyarrow.dataset as ds
+
+        from ..functions.codecs import vbyte_decode
+
+        bm_col = "block_max_bm25" if scorer == "bm25" else "block_max_tfidf"
+        ub_key = "max_bm25" if scorer == "bm25" else "max_tfidf"
+        dataset = ds.dataset(
+            os.path.join(self.index_dir, "postings"),
+            format="parquet",
+            partitioning="hive",
+        )
+        expr = None
+        for t in essential:
+            thresh = theta - (total_ub - stats[t][ub_key])
+            e = (ds.field("term") == t) & (ds.field(bm_col) >= thresh)
+            expr = e if expr is None else (expr | e)
+        buckets = sorted(
+            {term_bucket_py(t, self.config.n_term_buckets) for t in essential}
+        )
+        col = "doc_ids_vb" if self.config.compression else "doc_ids"
+        tbl = dataset.to_table(
+            filter=ds.field("term_bucket").isin(buckets) & expr, columns=[col]
+        )
+        if self.config.compression:
+            arrs = [vbyte_decode(b.as_py()) for b in tbl[col]]
+        else:
+            arrs = [np.asarray(a.as_py(), dtype=np.int64) for a in tbl[col]]
+        if not arrs:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(arrs))
+
     # above this many distinct terms, the per-term In() predicate stops
     # paying: planning/pushdown cost grows with the literal list while
     # most buckets are hit anyway. Callers that re-filter by term (the
@@ -283,6 +334,7 @@ class SearchEngine:
         block_thresh: Optional[dict[str, float]] = None,
         scorer: str = "bm25",
         candidate_range: Optional[DataFrame] = None,
+        candidate_ids=None,
     ) -> DataFrame:
         """(term, doc_id, tf, doc_len) rows for the query terms only —
         bucket partition pruning + term row-group pruning feed the scan.
@@ -295,16 +347,25 @@ class SearchEngine:
         when the caller also applies the theta score filter (see
         _maxscore for the bound argument).
 
-        ``candidate_range`` (MaxScore, few candidates): keep only blocks
-        whose [min_doc_id, max_doc_id] range contains at least one
-        candidate doc_id — the distributed nextGEQ skip
-        (PostingList.java:77-113): with c candidates, at most c blocks
-        per term are decoded no matter how long the list is. Runs as a
-        broadcast left-semi range join over block METADATA rows (n_blocks
-        ~ sqrt(df) rows per term, arrays untouched for dropped blocks).
-        Exact only when the caller then restricts scoring to the same
-        candidates — non-candidate docs in surviving blocks still ride
-        until the caller's semi join."""
+        Candidate-directed scan (MaxScore nextGEQ, PostingList.java:
+        77-113): keep only blocks whose [min_doc_id, max_doc_id] range
+        contains at least one candidate doc_id — with c candidates, at
+        most c blocks per term are decoded no matter how long the list
+        is. Two forms:
+
+        * ``candidate_ids`` (sorted ints, caller keeps it small): pure
+          LITERAL predicates — a pushable coarse [min(c), max(c)] range
+          filter plus an exists() containment check over the block
+          metadata columns, then an InSet on the exploded doc_ids. NO
+          extra Spark job, no broadcast: the whole query stays one job,
+          like DAAT.
+        * ``candidate_range`` (DataFrame): broadcast left-semi range
+          join over block metadata rows — for candidate sets too large
+          to inline as literals.
+
+        Either form is exact only when the caller then applies the theta
+        score filter — non-candidate docs in surviving blocks still ride
+        into scoring."""
         if term_predicate and len(terms) <= self.MAX_TERM_PREDICATE:
             blocks = self.postings.filter(self._bucket_filter(terms))
         else:
@@ -312,10 +373,23 @@ class SearchEngine:
                 {term_bucket_py(t, self.config.n_term_buckets) for t in terms}
             )
             blocks = self.postings.filter(F.col("term_bucket").isin(buckets))
-        if candidate_range is not None and "min_doc_id" in blocks.columns:
-            # the caller passes the SAME frame to its exact semi join, so
-            # the two F.broadcast sides canonicalize identically and
-            # ReuseExchange ships ONE broadcast job, not two
+        has_range = self._has_block_range
+        if candidate_ids is not None and len(candidate_ids) > 0 and has_range:
+            ids = [int(x) for x in candidate_ids]
+            csv = ",".join(map(str, ids))
+            # one SQL string = ONE py4j round-trip (the Column-API form
+            # pays a JVM call per literal/lambda piece). Coarse bounds
+            # are plain comparisons => parquet row-group stats pruning;
+            # the exists() runs JVM-side over the ~sqrt(df) block
+            # metadata rows only
+            blocks = blocks.filter(
+                F.expr(
+                    f"max_doc_id >= {ids[0]}L AND min_doc_id <= {ids[-1]}L "
+                    f"AND exists(array({csv}), "
+                    "c -> c >= min_doc_id AND c <= max_doc_id)"
+                )
+            )
+        if candidate_range is not None and has_range:
             blocks = blocks.join(
                 F.broadcast(candidate_range),
                 (candidate_range["doc_id"] >= blocks["min_doc_id"])
@@ -336,7 +410,7 @@ class SearchEngine:
             )
         if self.config.compression:
             exploded = _decode_blocks(blocks)
-            if "doc_len" not in exploded.columns:
+            if not self._decoded_has_doc_len:
                 # pre-r3 compressed index without in-row doc_lens: re-join
                 # the doctable (one shuffle the current layout avoids)
                 exploded = exploded.join(
@@ -352,6 +426,13 @@ class SearchEngine:
                 F.col("p.tfs").alias("tf"),
                 F.col("p.doc_lens").alias("doc_len"),
             )
+        if candidate_ids is not None and len(candidate_ids) > 0:
+            # exact candidate restriction pre-aggregation (InSet — a hash
+            # probe per exploded row); redundant for correctness under
+            # the caller's theta filter, but it keeps non-candidates in
+            # surviving blocks out of the shuffle
+            csv = ",".join(str(int(x)) for x in candidate_ids)
+            exploded = exploded.filter(F.expr(f"doc_id IN ({csv})"))
         return exploded
 
     def _scored(
@@ -361,6 +442,7 @@ class SearchEngine:
         scorer: str,
         block_thresh: Optional[dict[str, float]] = None,
         candidate_range: Optional[DataFrame] = None,
+        candidate_ids=None,
     ) -> DataFrame:
         cfg = self.config
         idf_map = F.create_map(
@@ -376,6 +458,7 @@ class SearchEngine:
             block_thresh=block_thresh,
             scorer=scorer,
             candidate_range=candidate_range,
+            candidate_ids=candidate_ids,
         ).withColumn(
             "score", partial * F.element_at(idf_map, F.col("term"))
         )
@@ -392,16 +475,29 @@ class SearchEngine:
         pre-aggregated; blocks partition disjoint doc ranges), so
         ``sum(when(term==t, score))`` is that single double, and the
         final expression adds the per-term values in a fixed order —
-        a pure hash aggregate, no per-doc collect_list/sort_array."""
+        a pure hash aggregate, no per-doc collect_list/sort_array.
+
+        Expressions are built as SQL strings (ONE py4j round-trip each):
+        the Column-API form cost ~10 JVM calls per query term, which
+        dominated single-query planning time. The left-associative
+        ``a + b + ...`` parse is bit-identical to the old explicit
+        ``0.0 + a + b + ...`` fold (0.0 + a == a exactly for the
+        non-negative addends here). Terms are post-pipeline tokens (T4
+        strips all ASCII punctuation), so inlining them in SQL is safe;
+        quotes are escaped anyway."""
         ordered = sorted(set(terms))
         aggs = [
-            F.sum(F.when(F.col("term") == t, F.col("score"))).alias(f"_s{i}")
+            F.expr(
+                "sum(CASE WHEN term = '{0}' THEN score END) AS _s{1}".format(
+                    t.replace("'", "''"), i
+                )
+            )
             for i, t in enumerate(ordered)
-        ] + [F.count("*").alias("n_terms")]
+        ] + [F.expr("count(*) AS n_terms")]
         per = scored.groupBy("doc_id").agg(*aggs)
-        total = F.lit(0.0)
-        for i in range(len(ordered)):
-            total = total + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+        total = F.expr(
+            " + ".join(f"coalesce(_s{i}, 0d)" for i in range(len(ordered)))
+        )
         return per.select("doc_id", total.alias("score"), "n_terms")
 
     @staticmethod
@@ -485,6 +581,10 @@ class SearchEngine:
     # ~|candidates| blocks containing candidates are decoded instead of
     # the whole list.
     RANGE_PRUNE_DF = 65_536
+    # candidate sets at most this big are inlined as plan literals
+    # (InSet + exists() over block metadata) — zero extra jobs; bigger
+    # ones become a local-relation broadcast range join
+    LITERAL_CANDIDATES = 2048
 
     def _maxscore(self, terms, stats, scorer: str, k: int) -> DataFrame:
         ub_key = "max_bm25" if scorer == "bm25" else "max_tfidf"
@@ -529,33 +629,51 @@ class SearchEngine:
         # prune implies theta > 0: ubs are strictly positive (idf > 0
         # under Q-1 inflation, partial > 0 for tf >= 1), so a non-empty
         # non-essential prefix needs its cumulative ub <= theta.
-        candidates = (
-            self._candidates_block_max(
+        cand_ids = cand_df = None
+        range_prune = prune and ess_df <= self.RANGE_PRUNE_DF
+        if range_prune:
+            # essential lists small enough to hold driver-side, like the
+            # reference's RAM-resident lists: nextGEQ via plan literals
+            # (small sets) or a local-relation broadcast — either way the
+            # query stays ONE Spark job
+            ids = self._candidates_driver(
                 essential, stats, scorer, theta, total_ub=cum
             )
-            if prune
-            else None
-        )
-        range_prune = prune and ess_df <= self.RANGE_PRUNE_DF
+            if len(ids) == 0:
+                # can't happen (the theta-source term's top block always
+                # survives its own threshold) — but an empty candidate
+                # restriction would silently return no rows, so fall back
+                # to the plain theta-filtered scan
+                range_prune = False
+            elif len(ids) <= self.LITERAL_CANDIDATES:
+                cand_ids = ids
+            else:
+                cand_df = self.spark.createDataFrame(
+                    [(int(i),) for i in ids], "doc_id long"
+                )
         scored = self._scored(
             terms,
             stats,
             scorer,
             block_thresh=block_thresh,
-            # nextGEQ: with few candidates, the scoring scan itself only
-            # touches blocks whose doc_id range holds a candidate
-            candidate_range=candidates if range_prune else None,
+            candidate_range=cand_df,
+            candidate_ids=cand_ids,
         )
-        if prune and not range_prune:
-            # exact candidate restriction pre-aggregation. Redundant for
-            # CORRECTNESS (the theta filter below removes every
-            # non-candidate: its true score — hence its computed score,
-            # partial sums being positive — is < theta by the block-max
-            # bound), so when the scan is already candidate-directed the
-            # join would only re-drop rows the range prune left, at the
-            # price of a second broadcast job (hash mode; the range NLJ's
-            # identity-mode broadcast can't be reused for it).
-            sem = candidates
+        if cand_df is not None:
+            # exact restriction for the DF form (the literal form applies
+            # its InSet inside _exploded_postings); broadcasting a local
+            # relation launches no scan job
+            scored = scored.join(F.broadcast(cand_df), "doc_id", "left_semi")
+        elif prune and not range_prune:
+            # large essential lists: distributed candidate scan + hash
+            # semi join (broadcast under BROADCAST_CANDIDATE_DF). The
+            # restriction is redundant for CORRECTNESS (the theta filter
+            # below removes every non-candidate: its true score — hence
+            # its computed score, partial sums being positive — is below
+            # theta by the block-max bound) but prunes the aggregation.
+            sem = self._candidates_block_max(
+                essential, stats, scorer, theta, total_ub=cum
+            )
             if ess_df <= self.BROADCAST_CANDIDATE_DF:
                 sem = F.broadcast(sem)
             scored = scored.join(sem, "doc_id", "left_semi")
