@@ -160,6 +160,76 @@ def main() -> None:
         lat_ms.append(time.time() - t0)
     timings["query_maxscore_p50"] = round(statistics.median(lat_ms), 3)
 
+    # --- compressed-postings query path (VByte/Unary blocks) ---
+    # same corpus, compression on; p50 over the same query set gives the
+    # raw-vs-compressed read amplification directly
+    idx_c = idx_dir + "_comp"
+    cfg_c = EngineConfig(stopstem=True, skip_threshold=64,
+                         shuffle_partitions=CPUS, compression=True)
+    shutil.rmtree(idx_c, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, corpus, idx_c, cfg_c, resume=False)
+    timings["index_build_compressed"] = round(time.time() - t0, 3)
+    comp_engine = SearchEngine(spark, idx_c)
+    comp_engine.search(queries[0], k=10).collect()  # warm plan/footers
+    lat_c = []
+    for q in queries:
+        t0 = time.time()
+        comp_engine.search(q, k=10).collect()
+        lat_c.append(time.time() - t0)
+    timings["query_bm25_compressed"] = round(statistics.median(lat_c), 3)
+
+    # --- Zipfian 100k-doc corpus: the selectivity-skewed regime ---
+    # The sf documents table has a 24-term near-uniform vocabulary: every
+    # query term is stopword-scale, so MaxScore has nothing to prune and
+    # build docs/s flatters (tiny lexicon). This section measures both on
+    # a REALISTIC corpus: deterministic Zipf(1.07) over a 50k-term
+    # vocabulary (regenerated if absent, cached in /tmp), with
+    # mixed-selectivity queries (1 rare + 1 mid + 2 common terms — the
+    # TREC-query shape the reference's Table 3 numbers come from).
+    from searchengine_spark.sources.synth import (
+        mixed_selectivity_queries,
+        zipf_corpus,
+    )
+
+    zsrc = "/tmp/se_bench_zipf100k_v50k"
+    if not os.path.exists(os.path.join(zsrc, "_SUCCESS")):
+        zipf_corpus(spark, 100_000, vocab_size=50_000).write.mode(
+            "overwrite"
+        ).parquet(zsrc)
+    zcorpus = spark.read.parquet(zsrc)
+    idx_z = idx_dir + "_zipf"
+    shutil.rmtree(idx_z, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, zcorpus, idx_z, cfg, resume=False)
+    z_sec = time.time() - t0
+    timings["index_build_zipf100k"] = round(z_sec, 3)
+    zengine = SearchEngine(spark, idx_z)
+    n_tokens = zengine.stats["tot_doc_len"]
+    zlex = [
+        (r["term"], r["df"])
+        for r in zengine.lexicon.select("term", "df").collect()
+    ]
+    zqueries = mixed_selectivity_queries(zlex, 12)
+    zengine.search(zqueries[0], k=10).collect()
+    zengine.search(zqueries[0], k=10, algo="maxscore").collect()
+    # interleaved best-of-2 per query: DAAT and MaxScore see identical
+    # cache/JIT state, so the p50 comparison is apples-to-apples
+    best = {"daat": [], "maxscore": []}
+    for q in zqueries:
+        per = {"daat": [], "maxscore": []}
+        for _ in range(2):
+            for algo in ("daat", "maxscore"):
+                t0 = time.time()
+                zengine.search(q, k=10, algo=algo).collect()
+                per[algo].append(time.time() - t0)
+        for a in per:
+            best[a].append(min(per[a]))
+    timings["query_bm25_100k"] = round(statistics.median(best["daat"]), 3)
+    timings["query_maxscore_100k"] = round(
+        statistics.median(best["maxscore"]), 3
+    )
+
     # amortized batch path: ONE job for the whole query set
     t0 = time.time()
     engine.batch_search([(f"q{i}", q) for i, q in enumerate(queries)], k=10).count()
@@ -261,6 +331,8 @@ def main() -> None:
         "build_docs_per_sec": round(n_docs / build_sec, 1),
         "n_docs_big": n_big,
         "build_docs_per_sec_100k": round(n_big / big_sec, 1),
+        "build_docs_per_sec_zipf100k": round(100_000 / z_sec, 1),
+        "build_tokens_per_sec_zipf100k": round(n_tokens / z_sec, 1),
         "cpus": CPUS,
     }))
     spark.stop()

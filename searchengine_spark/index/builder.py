@@ -182,7 +182,25 @@ class IndexBuilder:
 
     def build(self, corpus: DataFrame, resume: bool = True) -> dict:
         """Run the full build. ``corpus`` has the canonical schema
-        (repo, path, commit, lang, content). Returns the manifest."""
+        (repo, path, commit, lang, content). Returns the manifest.
+
+        AQE partition COALESCING is pinned off for the duration: the
+        build's stages are CPU-bound (regex tokenize, stemming, codec
+        encode) with small compressed shuffle payloads, so byte-based
+        coalescing collapses them to a fraction of the cluster's cores —
+        measured 1.6x slower on the 100k-doc bench build. AQE itself
+        (skew-join splitting, runtime replans) stays on. The session
+        setting is restored afterwards — query-side exchanges are tiny
+        and DO benefit from coalescing."""
+        coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+        prev_coalesce = self.spark.conf.get(coalesce_key, "true")
+        self.spark.conf.set(coalesce_key, "false")
+        try:
+            return self._build(corpus, resume)
+        finally:
+            self.spark.conf.set(coalesce_key, prev_coalesce)
+
+    def _build(self, corpus: DataFrame, resume: bool = True) -> dict:
         cfg = self.config
         manifest = self._load_manifest() if resume else {"stages": {}}
         cfg.save(self.index_dir)
