@@ -112,16 +112,27 @@ def main() -> None:
                    f"/tmp/scaling_{cpus}_t{t}.json", args.replicas)
             for t in range(trials)
         ]
-        assert len({r["topk_sha256"] for r in runs}) == 1,             f"top-k digests differ across trials at {cpus} cores"
+        for key in ("topk_sha256", "ann_sha256"):
+            vals = {r[key] for r in runs if key in r}
+            assert len(vals) <= 1,                 f"{key} differs across trials at {cpus} cores"
         best = max(runs, key=lambda r: r["build_docs_per_sec"])
         best["trials_docs_per_sec"] = [r["build_docs_per_sec"] for r in runs]
-        best["query_p50_sec"] = min(r["query_p50_sec"] for r in runs)
+        for key in ("query_p50_sec", "ann_query_p50_sec"):
+            if key in best:
+                best[key] = min(r[key] for r in runs)
+        if "ann_build_vecs_per_sec" in best:
+            best["ann_build_vecs_per_sec"] = max(
+                r["ann_build_vecs_per_sec"] for r in runs
+            )
         return best
 
     lo = best_of(args.n, args.trials)
     hi = best_of(args.n * 4, args.trials)
 
-    rank_identical = lo["topk_sha256"] == hi["topk_sha256"]
+    rank_identical = all(
+        lo.get(k) == hi.get(k)
+        for k in ("topk_sha256", "ann_sha256")
+    )
     eff = hi["build_docs_per_sec"] / (4.0 * lo["build_docs_per_sec"])
     summary = {
         "sf_dir": args.sf_dir,
@@ -133,6 +144,10 @@ def main() -> None:
         "scaling_efficiency_build": round(eff, 4),
         "query_p50_sec_N": lo["query_p50_sec"],
         "query_p50_sec_4N": hi["query_p50_sec"],
+        "ann_build_vecs_per_sec_N": lo.get("ann_build_vecs_per_sec"),
+        "ann_build_vecs_per_sec_4N": hi.get("ann_build_vecs_per_sec"),
+        "ann_query_p50_sec_N": lo.get("ann_query_p50_sec"),
+        "ann_query_p50_sec_4N": hi.get("ann_query_p50_sec"),
         "rank_identical": rank_identical,
         "topk_sha256": lo["topk_sha256"],
         "runs": {"N": lo, "4N": hi},

@@ -144,6 +144,57 @@ def main() -> None:
                 f"{qid}|{r['rank']}|{r['doc_id']}|{round(r['score'], 9)}\n".encode()
             )
 
+    # --- materialized banded-LSH ANN at scale: build over the expanded
+    # embeddings table, then partition-pruned probes. The claim under
+    # test: the probe reads only its bands' partitions, so query latency
+    # is ~flat in corpus size while build throughput scales with cores.
+    emb_path = os.path.join(args.sf_dir, "embeddings.parquet")
+    ann = {}
+    if os.path.exists(emb_path):
+        from searchengine_spark.pipeline import similarity as SIM
+
+        emb = spark.read.parquet(emb_path)
+        if args.replicas > 1:
+            esrc = f"/tmp/scaling_emb_r{args.replicas}"
+            if not os.path.exists(os.path.join(esrc, "_SUCCESS")):
+                reps = spark.range(args.replicas).select(F.col("id").alias("_rep"))
+                n_src = emb.count()
+                (
+                    emb.crossJoin(F.broadcast(reps))
+                    .select(
+                        (F.col("vec_id") + F.col("_rep") * n_src).alias("vec_id"),
+                        "embedding",
+                        "label",
+                    )
+                    .repartition(64)
+                    .write.mode("overwrite")
+                    .parquet(esrc)
+                )
+            emb = spark.read.parquet(esrc)
+        n_vecs = emb.count()
+        qvs = [r["embedding"] for r in
+               spark.read.parquet(emb_path).orderBy("vec_id").limit(5).collect()]
+        dim = len(qvs[0])
+        ann_dir = args.index_dir + "_ann"
+        shutil.rmtree(ann_dir, ignore_errors=True)
+        t0 = time.time()
+        SIM.ann_build_lsh(emb, ann_dir, dim=dim, n_planes=16, bands=4)
+        ann_build_sec = time.time() - t0
+        alat, ad = [], hashlib.sha256()
+        for i, qv in enumerate(qvs):
+            t0 = time.time()
+            rows = SIM.ann_query_lsh(spark, ann_dir, qv, k=10, max_hamming=8).collect()
+            alat.append(time.time() - t0)
+            for r in rows:
+                ad.update(f"{i}|{r['vec_id']}|{r['cosine']}\n".encode())
+        ann = {
+            "ann_n_vectors": n_vecs,
+            "ann_build_sec": round(ann_build_sec, 3),
+            "ann_build_vecs_per_sec": round(n_vecs / ann_build_sec, 1),
+            "ann_query_p50_sec": round(statistics.median(alat), 4),
+            "ann_sha256": ad.hexdigest(),
+        }
+
     report = {
         "cpus": cpus,
         "sf_dir": args.sf_dir,
@@ -154,6 +205,7 @@ def main() -> None:
         "query_mean_sec": round(sum(lat) / len(lat), 4),
         "query_lat_sec": [round(x, 4) for x in lat],
         "topk_sha256": digest.hexdigest(),
+        **ann,
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
