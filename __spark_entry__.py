@@ -55,6 +55,12 @@ Q_PHRASE = "merge column"
 Q_TFIDF = "window agg customer stream"
 Q_CONJ = "table value row"
 Q_MAXSCORE = "fast merge batch sort"
+# rare discriminative term (df 25 of 500 at sf0.01) + two frequent ones:
+# the selectivity shape that routes MaxScore through the driver-side
+# candidate probe + literal nextGEQ block pruning (engine.py
+# _candidates_driver) — hash-pinned here so the pruned path, not just
+# the degraded-to-DAAT path, sits under the oracle
+Q_RARE = "dup spark batch"
 PROBE_TERM = "spark"
 BATCH_QUERIES = [
     ("b1", Q_DISJ), ("b2", Q_TFIDF), ("b3", Q_CONJ), ("b4", Q_MAXSCORE)
@@ -250,6 +256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def bm25_topk_maxscore(spark, sf):
         return _topk_df(_engine(spark, sf), Q_MAXSCORE, k=10, algo="maxscore")
+
+    def bm25_topk_rare_term(spark, sf):
+        return _topk_df(_engine(spark, sf), Q_RARE, k=10, algo="maxscore")
 
     def dedup_exact(spark, sf):
         return DD.exact_duplicate_groups(_corpus(spark, sf)).select(
@@ -567,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk_disjunctive": tfidf_topk_disjunctive,
         "bm25_topk_conjunctive": bm25_topk_conjunctive,
         "bm25_topk_maxscore": bm25_topk_maxscore,
+        "bm25_topk_rare_term": bm25_topk_rare_term,
         "bm25_topk_k100": bm25_topk_k100,
         "tfidf_topk_conjunctive": tfidf_topk_conjunctive,
         "top_terms_by_cf": top_terms_by_cf,
@@ -818,6 +828,7 @@ SELECT doc_id, tf FROM tft WHERE term = '{PROBE_TERM}'
     sql["tfidf_topk_disjunctive"] = _topk_sql(Q_TFIDF, scorer="tfidf")
     sql["bm25_topk_conjunctive"] = _topk_sql(Q_CONJ, conjunctive=True)
     sql["bm25_topk_maxscore"] = _topk_sql(Q_MAXSCORE)
+    sql["bm25_topk_rare_term"] = _topk_sql(Q_RARE)
     sql["bm25_topk_k100"] = _topk_sql(Q_DISJ, k=100)
     sql["tfidf_topk_conjunctive"] = _topk_sql(Q_CONJ, scorer="tfidf", conjunctive=True)
 

@@ -152,7 +152,10 @@ def cmd_repl(args) -> None:
 
     spark = _spark(args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    engine = SearchEngine(spark, args.index)
+    # the reference loads its whole index into RAM before the prompt
+    # loop (Main.java / Query.java:62-72); warm() is the distributed
+    # analogue, so interactive latency matches that usage pattern
+    engine = SearchEngine(spark, args.index).warm()
     run_repl(engine, sys.stdin, sys.stdout)
 
 

@@ -485,48 +485,111 @@ class IndexBuilder:
         # yields ~the rare term's idf-scale score and prunes the common
         # lists outright.
         #
-        # Computed with a SALTED two-phase top-K so no aggregation buffer
-        # ever holds a full hot posting list: phase 1 groups by
-        # (term, salt) with salt fanout df/65536 (a stopword-scale term
-        # with 1e9 postings becomes ~15k bounded-size groups), phase 2
-        # merges the per-salt top-K arrays (<= fanout * K doubles per
-        # term). Query-time driver read stays O(|terms| * K).
+        # Computed from the BLOCK ARRAYS where possible: any posting in
+        # the global top-K is by definition inside its own block's
+        # top-K, so per-block top-K arrays (a JVM array expression per
+        # block row — input is the ~sqrt(df) block rows per term, not
+        # the posting rows) merged per term give exactly the global
+        # top-K. The merge is SALTED two-phase on block_id so no
+        # aggregation buffer ever holds a hot term's full block set
+        # (a stopword-scale term with ~1e6 block rows merges through
+        # ceil(n_blocks/256) bounded groups). Compressed indexes (tfs
+        # stored as Unary blobs — not score-able JVM-side) fall back to
+        # the tf-table scan with a df-proportional salt. Query-time
+        # driver read stays O(|terms| * K).
         if not self._stage_done(manifest, "block_summary"):
             t0 = time.time()
             post = self.spark.read.parquet(
                 os.path.join(self.index_dir, "postings")
             )
-            bm25_p = bm25_partial_expr(
-                F.col("tf"), F.col("doc_len"), avgdl, cfg.k1, cfg.b
-            )
-            tfidf_p = tfidf_partial_expr(F.col("tf"))
-            scored = (
-                tf.join(
-                    F.broadcast(lexicon.select("term", "df", "idf")), "term"
-                )
-                .select(
-                    "term",
-                    (bm25_p * F.col("idf")).alias("_sb"),
-                    (tfidf_p * F.col("idf")).alias("_st"),
-                    F.pmod(
-                        F.xxhash64("doc_id"),
-                        F.greatest(
-                            F.ceil(F.col("df") / F.lit(65536)), F.lit(1)
-                        ),
-                    ).alias("_salt"),
-                )
-            )
 
-            def topk_arr(col: str):
+            def merge_topk(col: str):
                 return F.slice(
-                    F.sort_array(F.collect_list(F.col(col)), asc=False),
+                    F.reverse(F.array_sort(F.flatten(F.collect_list(col)))),
                     1,
                     THETA_TOPK,
                 )
 
-            partial = scored.groupBy("term", "_salt").agg(
-                topk_arr("_sb").alias("_pb"), topk_arr("_st").alias("_pt")
-            )
+            if not cfg.compression:
+
+                def topk_of(score_fn):
+                    return F.slice(
+                        F.reverse(
+                            F.array_sort(
+                                F.transform(
+                                    F.arrays_zip("tfs", "doc_lens"), score_fn
+                                )
+                            )
+                        ),
+                        1,
+                        THETA_TOPK,
+                    )
+
+                scored = (
+                    post.select("term", "block_id", "tfs", "doc_lens")
+                    .join(
+                        F.broadcast(lexicon.select("term", "idf", "n_blocks")),
+                        "term",
+                    )
+                    .select(
+                        "term",
+                        F.pmod(
+                            F.col("block_id").cast("long"),
+                            F.greatest(
+                                F.ceil(F.col("n_blocks") / F.lit(256)),
+                                F.lit(1),
+                            ),
+                        ).alias("_salt"),
+                        topk_of(
+                            lambda z: bm25_partial_expr(
+                                z["tfs"], z["doc_lens"], avgdl, cfg.k1, cfg.b
+                            )
+                            * F.col("idf")
+                        ).alias("_pb"),
+                        topk_of(
+                            lambda z: tfidf_partial_expr(z["tfs"])
+                            * F.col("idf")
+                        ).alias("_pt"),
+                    )
+                )
+                partial = scored.groupBy("term", "_salt").agg(
+                    merge_topk("_pb").alias("_pb"),
+                    merge_topk("_pt").alias("_pt"),
+                )
+            else:
+                bm25_p = bm25_partial_expr(
+                    F.col("tf"), F.col("doc_len"), avgdl, cfg.k1, cfg.b
+                )
+                tfidf_p = tfidf_partial_expr(F.col("tf"))
+                scored = (
+                    tf.join(
+                        F.broadcast(lexicon.select("term", "df", "idf")),
+                        "term",
+                    )
+                    .select(
+                        "term",
+                        (bm25_p * F.col("idf")).alias("_sb"),
+                        (tfidf_p * F.col("idf")).alias("_st"),
+                        F.pmod(
+                            F.xxhash64("doc_id"),
+                            F.greatest(
+                                F.ceil(F.col("df") / F.lit(65536)), F.lit(1)
+                            ),
+                        ).alias("_salt"),
+                    )
+                )
+                partial = scored.groupBy("term", "_salt").agg(
+                    F.slice(
+                        F.sort_array(F.collect_list("_sb"), asc=False),
+                        1,
+                        THETA_TOPK,
+                    ).alias("_pb"),
+                    F.slice(
+                        F.sort_array(F.collect_list("_st"), asc=False),
+                        1,
+                        THETA_TOPK,
+                    ).alias("_pt"),
+                )
             summary = (
                 partial.groupBy("term")
                 .agg(
