@@ -54,6 +54,7 @@ import json
 import math
 import os
 import time
+from contextlib import contextmanager
 from typing import Optional
 
 import pandas as pd
@@ -124,6 +125,29 @@ class IndexBuilder:
         self.config = config or EngineConfig()
         self._manifest_path = os.path.join(self.index_dir, "manifest.json")
 
+    # ---------- AQE scoping ----------
+
+    @contextmanager
+    def _full_parallelism(self):
+        """Pin AQE partition COALESCING off for the enclosed actions only.
+
+        Used around the stages whose post-shuffle work is CPU-bound
+        (tokenize + stem + sha256 on the cache-materializing pass): their
+        shuffle payloads compress to ~1 MB/partition, so byte-based
+        coalescing collapses them onto a fraction of the cluster's cores —
+        measured 54.9 s vs 7 s for the 100k-doc tokenize stage. Every
+        OTHER build stage is a small JVM-side shuffle that BENEFITS from
+        coalescing (a build-wide pin measured 2x slower on the 5k-doc
+        build: 32 tasks of per-task overhead per tiny stage). AQE itself
+        (skew splitting, runtime replans) stays on throughout."""
+        key = "spark.sql.adaptive.coalescePartitions.enabled"
+        prev = self.spark.conf.get(key, "true")
+        self.spark.conf.set(key, "false")
+        try:
+            yield
+        finally:
+            self.spark.conf.set(key, prev)
+
     # ---------- manifest / resume ----------
 
     def _load_manifest(self) -> dict:
@@ -184,21 +208,10 @@ class IndexBuilder:
         """Run the full build. ``corpus`` has the canonical schema
         (repo, path, commit, lang, content). Returns the manifest.
 
-        AQE partition COALESCING is pinned off for the duration: the
-        build's stages are CPU-bound (regex tokenize, stemming, codec
-        encode) with small compressed shuffle payloads, so byte-based
-        coalescing collapses them to a fraction of the cluster's cores —
-        measured 1.6x slower on the 100k-doc bench build. AQE itself
-        (skew-join splitting, runtime replans) stays on. The session
-        setting is restored afterwards — query-side exchanges are tiny
-        and DO benefit from coalescing."""
-        coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
-        prev_coalesce = self.spark.conf.get(coalesce_key, "true")
-        self.spark.conf.set(coalesce_key, "false")
-        try:
-            return self._build(corpus, resume)
-        finally:
-            self.spark.conf.set(coalesce_key, prev_coalesce)
+        AQE partition coalescing stays ON for the build's many small
+        JVM-side shuffles; only the CPU-bound tokenize pass pins it off
+        (see _full_parallelism)."""
+        return self._build(corpus, resume)
 
     def _build(self, corpus: DataFrame, resume: bool = True) -> dict:
         cfg = self.config
@@ -241,6 +254,23 @@ class IndexBuilder:
                 .drop("content")
                 .persist()
             )
+            # Materialize the cache HERE, with coalescing pinned off for
+            # just this action: the doc-id range exchange's ~1 MB/partition
+            # compressed payload otherwise coalesces the tokenize+sha256
+            # work (the single most expensive pass of the build) onto a
+            # handful of cores. Downstream stages then read the 32-way
+            # cache and keep coalescing's benefits for their own tiny
+            # exchanges.
+            t_tok = time.time()
+            with self._full_parallelism():
+                n_tok = tokenized.count()
+            manifest["stages"]["tokenize_cache"] = {
+                "rows": n_tok,
+                "duration_sec": round(time.time() - t_tok, 3),
+                "note": "cache materialization (doc-id exchange + "
+                "tokenize + sha256), AQE coalescing pinned off",
+            }
+            self._save_manifest(manifest)
 
             if need_doct:
                 t0 = time.time()
