@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Capture physical-plan dumps for PLANS.md (round-3 paths).
+
+Builds two tiny indexes (raw + compressed, positions on) at sf0.001 and
+prints the executedPlan for:
+
+  1. compressed DAAT — must show NO doctable join (doc_lens ride in the
+     posting block rows) and the block-decode mapInPandas bounded by the
+     pruned scan;
+  2. phrase query — must show NO single-partition Window exchange (the
+     phrase-df count is a 1-row agg broadcast back onto the matches);
+  3. MaxScore with driver-side literal candidates — the InSet/exists()
+     restriction visible inside ONE job's scan, no extra exchanges.
+
+Run: python scripts/capture_plans.py  (prints markdown-ready sections)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _clip(plan: str, width: int = 300, max_lines: int = 40) -> str:
+    lines = []
+    for ln in plan.splitlines():
+        ln = ln.rstrip()
+        if not ln:
+            continue
+        lines.append(ln[:width])
+        if len(lines) >= max_lines:
+            lines.append("... (clipped)")
+            break
+    return "\n".join(lines)
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from searchengine_spark.config import EngineConfig
+    from searchengine_spark.index.builder import build_index
+    from searchengine_spark.query.engine import SearchEngine
+    from searchengine_spark.sources.corpus import load_documents_as_corpus
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("capture-plans")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = load_documents_as_corpus(spark, "/root/testdata/sf0.001")
+
+    idx_raw = "/tmp/se_plans_raw"
+    idx_comp = "/tmp/se_plans_comp"
+    for d, comp in ((idx_raw, False), (idx_comp, True)):
+        if not os.path.exists(os.path.join(d, "stats.json")):
+            shutil.rmtree(d, ignore_errors=True)
+            build_index(
+                spark,
+                corpus,
+                d,
+                EngineConfig(
+                    stopstem=True,
+                    skip_threshold=64,
+                    shuffle_partitions=8,
+                    compression=comp,
+                    positions=not comp,
+                ),
+                resume=False,
+            )
+
+    raw = SearchEngine(spark, idx_raw)
+    comp = SearchEngine(spark, idx_comp)
+
+    def dump(title, note, df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        print(f"\n### {title}\n\n{note}\n\n```\n{_clip(plan)}\n```")
+        return plan
+
+    q = "spark table join fast"
+    p1 = dump(
+        "Compressed DAAT (VByte/Unary blocks) — no doctable join",
+        "doc_lens ride inside the compressed posting rows, so the decode "
+        "mapInPandas emits (term, doc_id, tf, doc_len) directly and BM25 "
+        "is computed without ANY join; the scan is partition-pruned and "
+        "term-pushed like the raw path.",
+        comp.search(q, k=10),
+    )
+    assert "doctable" not in p1, "compressed path joined the doctable!"
+
+    p2 = dump(
+        "Exact-phrase query — no single-partition Window",
+        "phrase df comes from a 1-row count aggregate broadcast-joined "
+        "back onto the matches (BroadcastNestedLoopJoin of a single row) "
+        "— no Window.partitionBy() funneling every match through one "
+        "task.",
+        raw.phrase_search("merge column", k=10),
+    )
+    # the only Window allowed is the rank projection ABOVE the top-k
+    # (it sees <= k rows); nothing below TakeOrderedAndProject — i.e. on
+    # the unbounded match set — may be a Window
+    below_topk = p2.split("TakeOrderedAndProject", 1)[-1]
+    assert not re.search(r"Window \[", below_topk), (
+        "phrase plan has a Window below the top-k!"
+    )
+
+    p3 = dump(
+        "MaxScore with driver-resident candidates — ONE job",
+        "rare + frequent terms: the essential list is read driver-side "
+        "(bucket-pruned pyarrow, the reference's RAM-resident list), "
+        "candidates inlined as plan literals — dynamicpruning/INSET on "
+        "doc_id plus a coarse doc_id range pushed INTO the parquet scan "
+        "of the frequent terms' blocks. No extra Spark job, no exchange "
+        "beyond the one doc_id hash partitioning.",
+        raw.search("dup spark batch", k=10, algo="maxscore"),
+    )
+    if "dynamicpruning" not in p3 and " IN (" not in p3.split("Filter", 1)[-1]:
+        print("\n(note: candidate path did not engage on this corpus — "
+              "dump shows the cost-gated DAAT+theta degradation)")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
