@@ -801,12 +801,26 @@ class SearchEngine:
             .select(*cols)
             .withColumn("base", F.col("p") - F.col("i"))
         )
-        agg = [F.count_distinct("i").alias("cover")] + (
+        # coverage test: base b is a phrase occurrence iff every term
+        # index i appears at (doc_id, b). count_distinct(i) would compile
+        # to a double aggregate with an extra (doc_id, base, i) exchange;
+        # an OR of one-hot bitmasks is a single partial+final agg — same
+        # answer, one fewer shuffle on the largest intermediate of the
+        # query. (>62-term phrases fall back to count_distinct; the
+        # bitmask must fit a signed long.)
+        if len(terms) <= 62:
+            full = (1 << len(terms)) - 1
+            cover = F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), i)")
+            ).alias("cover")
+            cover_hit = F.col("cover") == full
+        else:
+            cover = F.count_distinct("i").alias("cover")
+            cover_hit = F.col("cover") == len(terms)
+        agg = [cover] + (
             [F.first("doc_len").alias("doc_len")] if has_doc_len else []
         )
-        occ = bases.groupBy("doc_id", "base").agg(*agg).filter(
-            F.col("cover") == len(terms)
-        )
+        occ = bases.groupBy("doc_id", "base").agg(*agg).filter(cover_hit)
         ptf_aggs = [F.count("*").cast("int").alias("phrase_tf")] + (
             [F.first("doc_len").alias("doc_len")] if has_doc_len else []
         )
