@@ -102,6 +102,36 @@ def main() -> None:
     zip_path = "/tmp/searchengine_spark.zip"
     zip_package(zip_path)
 
+    def cpu_ceiling(cpus: int) -> float:
+        """Pure-CPU control: items/sec of an embarrassingly parallel
+        regex+sha256 workload (no Spark, no JVM) on `cpus` pinned cores.
+        This is the BOX's scaling ceiling — a per-node-isolated cluster
+        provides ~1.0, a shared single box does not (memory bandwidth +
+        host scheduling). Engine efficiency should be read against it:
+        engine_eff / ceiling_eff is the architecture's share."""
+        code = (
+            "import multiprocessing as mp, time, hashlib, re, sys\n"
+            "TEXT=('def foo(bar):\\n    return [x**2 for x in range(100)]\\n'*200)\n"
+            "RX=re.compile(r'[a-z_]+')\n"
+            "def one(_):\n"
+            "    h=hashlib.sha256()\n"
+            "    for _ in range(60): h.update(' '.join(RX.findall(TEXT)).encode())\n"
+            "    return h.hexdigest()[:8]\n"
+            "if __name__=='__main__':\n"
+            "    n=int(sys.argv[1]); N=256\n"
+            "    with mp.Pool(n) as p:\n"
+            "        t0=time.time(); p.map(one, range(N), chunksize=max(1,N//(n*8)))\n"
+            "        print(N/(time.time()-t0))\n"
+        )
+        with open("/tmp/_cpu_ceiling.py", "w") as f:
+            f.write(code)
+        out = subprocess.run(
+            ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+             "/tmp/_cpu_ceiling.py", str(cpus)],
+            capture_output=True, text=True, check=True,
+        )
+        return float(out.stdout.strip().splitlines()[-1])
+
     def best_of(cpus: int, trials: int) -> dict:
         """Peak throughput over `trials` runs — single-box runs at high
         core counts show 1.5-2x run-to-run swings (GC/scheduler noise a
@@ -134,6 +164,9 @@ def main() -> None:
         for k in ("topk_sha256", "ann_sha256")
     )
     eff = hi["build_docs_per_sec"] / (4.0 * lo["build_docs_per_sec"])
+    ceil_lo = cpu_ceiling(args.n)
+    ceil_hi = cpu_ceiling(args.n * 4)
+    ceil_eff = ceil_hi / (4.0 * ceil_lo)
     summary = {
         "sf_dir": args.sf_dir,
         "replicas": args.replicas,
@@ -142,6 +175,10 @@ def main() -> None:
         "build_docs_per_sec_N": lo["build_docs_per_sec"],
         "build_docs_per_sec_4N": hi["build_docs_per_sec"],
         "scaling_efficiency_build": round(eff, 4),
+        "cpu_ceiling_items_per_sec_N": round(ceil_lo, 1),
+        "cpu_ceiling_items_per_sec_4N": round(ceil_hi, 1),
+        "cpu_ceiling_efficiency": round(ceil_eff, 4),
+        "efficiency_vs_ceiling": round(eff / ceil_eff, 4) if ceil_eff else None,
         "query_p50_sec_N": lo["query_p50_sec"],
         "query_p50_sec_4N": hi["query_p50_sec"],
         "ann_build_vecs_per_sec_N": lo.get("ann_build_vecs_per_sec"),
