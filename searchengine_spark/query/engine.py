@@ -603,6 +603,9 @@ class SearchEngine:
     # (InSet + exists() over block metadata) — zero extra jobs; bigger
     # ones become a local-relation broadcast range join
     LITERAL_CANDIDATES = 2048
+    # phrase coverage uses a one-hot bit_or up to this many terms (the
+    # mask must fit a signed long); longer phrases use count_distinct
+    PHRASE_BITMASK_MAX = 62
 
     def _maxscore(self, terms, stats, scorer: str, k: int) -> DataFrame:
         ub_key = "max_bm25" if scorer == "bm25" else "max_tfidf"
@@ -806,9 +809,9 @@ class SearchEngine:
         # to a double aggregate with an extra (doc_id, base, i) exchange;
         # an OR of one-hot bitmasks is a single partial+final agg — same
         # answer, one fewer shuffle on the largest intermediate of the
-        # query. (>62-term phrases fall back to count_distinct; the
-        # bitmask must fit a signed long.)
-        if len(terms) <= 62:
+        # query. (Phrases longer than PHRASE_BITMASK_MAX fall back to
+        # count_distinct; the bitmask must fit a signed long.)
+        if len(terms) <= self.PHRASE_BITMASK_MAX:
             full = (1 << len(terms)) - 1
             cover = F.bit_or(
                 F.expr("shiftleft(CAST(1 AS BIGINT), i)")

@@ -79,3 +79,25 @@ def test_phrase_requires_positions(spark, index_dir):
     eng = SearchEngine(spark, index_dir)  # built without positions
     with pytest.raises(RuntimeError, match="positional index"):
         eng.phrase_search("spark table")
+
+
+def test_phrase_bitmask_equals_count_distinct_fallback(phrase_engine):
+    """The one-pass bit_or coverage (len(terms) <= PHRASE_BITMASK_MAX)
+    and the count_distinct fallback (longer phrases) must rank and
+    score identically — pin it by forcing the fallback on the same
+    queries."""
+    phrases = ["fast join", "fast of join", "fast join fast"]
+    want = [
+        [r.asDict() for r in phrase_engine.phrase_search(p, k=10).collect()]
+        for p in phrases
+    ]
+    old = phrase_engine.PHRASE_BITMASK_MAX
+    phrase_engine.PHRASE_BITMASK_MAX = 0  # force count_distinct path
+    try:
+        got = [
+            [r.asDict() for r in phrase_engine.phrase_search(p, k=10).collect()]
+            for p in phrases
+        ]
+    finally:
+        phrase_engine.PHRASE_BITMASK_MAX = old
+    assert got == want
