@@ -76,6 +76,7 @@ class SearchEngine:
         self._lex_cache: dict[str, Optional[dict]] = {}
         self._block_max_cache: dict[str, list[dict]] = {}
         self._block_summary_cache: dict[str, Optional[dict]] = {}
+        self._block_summary_full = False
         self._lexicon_df: Optional[DataFrame] = None
         self._positions_df: Optional[DataFrame] = None
         self.postings = spark.read.parquet(os.path.join(self.index_dir, "postings"))
@@ -94,6 +95,7 @@ class SearchEngine:
         self._lex_cache.clear()
         self._block_max_cache.clear()
         self._block_summary_cache.clear()
+        self._block_summary_full = False
         self._lexicon_df = None
         self._positions_df = None
         with open(os.path.join(self.index_dir, "stats.json")) as f:
@@ -124,6 +126,9 @@ class SearchEngine:
         self.postings.count()
         if self._positions_df is not None:
             self._positions_df = self._positions_df.persist()
+        # pull the block_summary into driver RAM too (when small enough)
+        # so the first MaxScore query pays no metadata read
+        self._block_summary([])
         return self
 
     @property
@@ -228,21 +233,50 @@ class SearchEngine:
         summ_dir = os.path.join(self.index_dir, "block_summary")
         if not os.path.exists(summ_dir):
             return {}
+        if self._block_summary_full:
+            return {
+                t: self._block_summary_cache[t]
+                for t in terms
+                if self._block_summary_cache.get(t) is not None
+            }
         missing = [t for t in terms if t not in self._block_summary_cache]
-        if missing:
+        if missing or not terms:
             import pyarrow.dataset as ds
 
             dataset = ds.dataset(summ_dir, format="parquet", partitioning="hive")
-            buckets = sorted(
-                {term_bucket_py(t, self.config.n_term_buckets) for t in missing}
+            # small summary table => load it ALL once and answer every
+            # later probe from RAM — the reference's own move (the full
+            # dictionary is RAM-resident before the first query,
+            # Query.java:62-72). The per-term bucket-pruned probe below
+            # stays the path for web-scale vocabularies, where the
+            # summary is too big to hold driver-side. (terms == [] is
+            # warm()'s explicit preload request.)
+            on_disk = sum(
+                os.path.getsize(os.path.join(r, fn))
+                for r, _d, fns in os.walk(summ_dir)
+                for fn in fns
+                if fn.endswith(".parquet")
             )
-            tbl = dataset.to_table(
-                filter=ds.field("term_bucket").isin(buckets)
-                & ds.field("term").isin(missing)
-            )
-            found = {r["term"]: r for r in tbl.to_pylist()}
-            for t in missing:
-                self._block_summary_cache[t] = found.get(t)
+            if on_disk <= self.BLOCK_SUMMARY_RAM_BYTES:
+                for r in dataset.to_table().to_pylist():
+                    self._block_summary_cache.setdefault(r["term"], r)
+                self._block_summary_full = True
+                return {
+                    t: self._block_summary_cache[t]
+                    for t in terms
+                    if self._block_summary_cache.get(t) is not None
+                }
+            if missing:
+                buckets = sorted(
+                    {term_bucket_py(t, self.config.n_term_buckets) for t in missing}
+                )
+                tbl = dataset.to_table(
+                    filter=ds.field("term_bucket").isin(buckets)
+                    & ds.field("term").isin(missing)
+                )
+                found = {r["term"]: r for r in tbl.to_pylist()}
+                for t in missing:
+                    self._block_summary_cache[t] = found.get(t)
         return {
             t: self._block_summary_cache[t]
             for t in terms
@@ -603,9 +637,24 @@ class SearchEngine:
     # (InSet + exists() over block metadata) — zero extra jobs; bigger
     # ones become a local-relation broadcast range join
     LITERAL_CANDIDATES = 2048
+    # engage candidate pruning only when the NON-essential lists hold at
+    # least this many postings — the prunable work. Below it the fixed
+    # cost of producing candidates (driver-side pyarrow read of the
+    # essential lists, or a candidate scan job) exceeds what pruning can
+    # save and MaxScore should degrade to DAAT + the free theta/block-max
+    # filters. Measured on Zipf corpora (interleaved best-of runs, same
+    # box): at 100k docs (savings <= 200k postings) the candidate path
+    # LOST 0.3-0.45 s/query vs DAAT; at 1M docs (savings >= 1.2M) it won
+    # every query by 0.2-0.5 s. 400k sits between with margin both ways.
+    PRUNE_MIN_POSTINGS = 400_000
     # phrase coverage uses a one-hot bit_or up to this many terms (the
     # mask must fit a signed long); longer phrases use count_distinct
     PHRASE_BITMASK_MAX = 62
+    # block_summary tables at most this big on disk are loaded whole
+    # into driver RAM on first probe (the reference's RAM-resident
+    # dictionary, Query.java:62-72): per-query theta then costs zero
+    # reads. Bigger vocabularies keep the bucket-pruned per-term probe.
+    BLOCK_SUMMARY_RAM_BYTES = 64 * 1024 * 1024
 
     def _maxscore(self, terms, stats, scorer: str, k: int) -> DataFrame:
         ub_key = "max_bm25" if scorer == "bm25" else "max_tfidf"
@@ -646,6 +695,7 @@ class SearchEngine:
         prune = (
             len(essential) < len(terms)
             and ess_df <= self.PRUNE_RATIO * total_df
+            and total_df - ess_df >= self.PRUNE_MIN_POSTINGS
         )
         # prune implies theta > 0: ubs are strictly positive (idf > 0
         # under Q-1 inflation, partial > 0 for tf >= 1), so a non-empty

@@ -78,6 +78,9 @@ def test_range_prune_engages_and_is_exact(zipf_engine):
     """A rare+common query must actually take the candidate-directed
     (nextGEQ) path — and return exactly DAAT's top-k."""
     eng = zipf_engine
+    # the savings gate would (correctly) skip candidate pruning on a
+    # corpus this small — force it so the path itself stays pinned
+    eng.PRUNE_MIN_POSTINGS = 0
     lex = [(r["term"], r["df"]) for r in eng.lexicon.select("term", "df").collect()]
     rare = min((r for r in lex if r[1] >= 12), key=lambda r: (r[1], r[0]))[0]
     common = max(lex, key=lambda r: (r[1], r[0]))[0]
