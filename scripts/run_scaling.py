@@ -164,9 +164,17 @@ def main() -> None:
         for k in ("topk_sha256", "ann_sha256")
     )
     eff = hi["build_docs_per_sec"] / (4.0 * lo["build_docs_per_sec"])
-    ceil_lo = cpu_ceiling(args.n)
-    ceil_hi = cpu_ceiling(args.n * 4)
-    ceil_eff = ceil_hi / (4.0 * ceil_lo)
+    # the ceiling control must never discard the (expensive) bench
+    # results above it — a missing taskset / too few cores degrades to
+    # null ceiling fields, not a crash
+    try:
+        ceil_lo = cpu_ceiling(args.n)
+        ceil_hi = cpu_ceiling(args.n * 4)
+        ceil_eff = ceil_hi / (4.0 * ceil_lo)
+    except (subprocess.CalledProcessError, OSError, ValueError) as e:
+        print(f"cpu_ceiling control failed ({e}); recording nulls",
+              file=sys.stderr)
+        ceil_lo = ceil_hi = ceil_eff = None
     summary = {
         "sf_dir": args.sf_dir,
         "replicas": args.replicas,
@@ -175,9 +183,9 @@ def main() -> None:
         "build_docs_per_sec_N": lo["build_docs_per_sec"],
         "build_docs_per_sec_4N": hi["build_docs_per_sec"],
         "scaling_efficiency_build": round(eff, 4),
-        "cpu_ceiling_items_per_sec_N": round(ceil_lo, 1),
-        "cpu_ceiling_items_per_sec_4N": round(ceil_hi, 1),
-        "cpu_ceiling_efficiency": round(ceil_eff, 4),
+        "cpu_ceiling_items_per_sec_N": round(ceil_lo, 1) if ceil_lo else None,
+        "cpu_ceiling_items_per_sec_4N": round(ceil_hi, 1) if ceil_hi else None,
+        "cpu_ceiling_efficiency": round(ceil_eff, 4) if ceil_eff else None,
         "efficiency_vs_ceiling": round(eff / ceil_eff, 4) if ceil_eff else None,
         "query_p50_sec_N": lo["query_p50_sec"],
         "query_p50_sec_4N": hi["query_p50_sec"],

@@ -77,6 +77,7 @@ class SearchEngine:
         self._block_max_cache: dict[str, list[dict]] = {}
         self._block_summary_cache: dict[str, Optional[dict]] = {}
         self._block_summary_full = False
+        self._block_summary_should_load: Optional[bool] = None
         self._lexicon_df: Optional[DataFrame] = None
         self._positions_df: Optional[DataFrame] = None
         self.postings = spark.read.parquet(os.path.join(self.index_dir, "postings"))
@@ -96,6 +97,7 @@ class SearchEngine:
         self._block_max_cache.clear()
         self._block_summary_cache.clear()
         self._block_summary_full = False
+        self._block_summary_should_load = None
         self._lexicon_df = None
         self._positions_df = None
         with open(os.path.join(self.index_dir, "stats.json")) as f:
@@ -250,14 +252,26 @@ class SearchEngine:
             # Query.java:62-72). The per-term bucket-pruned probe below
             # stays the path for web-scale vocabularies, where the
             # summary is too big to hold driver-side. (terms == [] is
-            # warm()'s explicit preload request.)
-            on_disk = sum(
-                os.path.getsize(os.path.join(r, fn))
-                for r, _d, fns in os.walk(summ_dir)
-                for fn in fns
-                if fn.endswith(".parquet")
-            )
-            if on_disk <= self.BLOCK_SUMMARY_RAM_BYTES:
+            # warm()'s explicit preload request.) The load/no-load
+            # decision is sized on UNCOMPRESSED parquet bytes (row-group
+            # total_byte_size from the footers — no data read) times a
+            # measured pylist expansion factor, NOT compressed file
+            # size: the cache stores to_pylist() dicts whose Python
+            # object overhead dwarfs the snappy-compressed footprint.
+            # Decided once per engine instance (refresh() resets).
+            if self._block_summary_should_load is None:
+                unc = 0
+                for frag in dataset.get_fragments():
+                    md = frag.metadata
+                    unc += sum(
+                        md.row_group(i).total_byte_size
+                        for i in range(md.num_row_groups)
+                    )
+                self._block_summary_should_load = (
+                    unc * self.PYLIST_BYTES_PER_ARROW_BYTE
+                    <= self.BLOCK_SUMMARY_RAM_BYTES
+                )
+            if self._block_summary_should_load:
                 for r in dataset.to_table().to_pylist():
                     self._block_summary_cache.setdefault(r["term"], r)
                 self._block_summary_full = True
@@ -650,11 +664,18 @@ class SearchEngine:
     # phrase coverage uses a one-hot bit_or up to this many terms (the
     # mask must fit a signed long); longer phrases use count_distinct
     PHRASE_BITMASK_MAX = 62
-    # block_summary tables at most this big on disk are loaded whole
-    # into driver RAM on first probe (the reference's RAM-resident
-    # dictionary, Query.java:62-72): per-query theta then costs zero
-    # reads. Bigger vocabularies keep the bucket-pruned per-term probe.
-    BLOCK_SUMMARY_RAM_BYTES = 64 * 1024 * 1024
+    # block_summary tables whose ESTIMATED driver-RAM footprint stays
+    # under this are loaded whole on first probe (the reference's
+    # RAM-resident dictionary, Query.java:62-72): per-query theta then
+    # costs zero reads. Bigger vocabularies keep the bucket-pruned
+    # per-term probe. The estimate is uncompressed-parquet bytes (from
+    # footers) x PYLIST_BYTES_PER_ARROW_BYTE, because the cache holds
+    # to_pylist() dicts: measured on a 20k-term summary shaped like the
+    # real one (4 x 100-double top arrays per row), sys.getsizeof-walked
+    # dicts run ~4.2x the Arrow buffer size (each 8-byte double becomes
+    # a ~32-byte boxed float + list slot); 8 is the safety round-up.
+    BLOCK_SUMMARY_RAM_BYTES = 256 * 1024 * 1024
+    PYLIST_BYTES_PER_ARROW_BYTE = 8
 
     def _maxscore(self, terms, stats, scorer: str, k: int) -> DataFrame:
         ub_key = "max_bm25" if scorer == "bm25" else "max_tfidf"
