@@ -97,11 +97,16 @@ def main() -> None:
     assert "doctable" not in p1, "compressed path joined the doctable!"
 
     p2 = dump(
-        "Exact-phrase query — no single-partition Window",
-        "phrase df comes from a 1-row count aggregate broadcast-joined "
-        "back onto the matches (BroadcastNestedLoopJoin of a single row) "
-        "— no Window.partitionBy() funneling every match through one "
-        "task.",
+        "Exact-phrase query — one positions scan, single-aggregate "
+        "coverage, no single-partition Window",
+        "both consumers — the top-k ranking (by the idf-free partial, "
+        "rank-identical since idf is a positive per-query constant) and "
+        "the 1-row phrase-df count broadcast onto the k winners — read "
+        "the SAME persisted matched-doc frame (two InMemoryTableScans "
+        "over one InMemoryRelation), so the positions pipeline executes "
+        "once; coverage is the one-hot bit_or single aggregate, not a "
+        "count(distinct) double aggregate; no Window.partitionBy() "
+        "funneling every match through one task.",
         raw.phrase_search("merge column", k=10),
     )
     # the only Window allowed is the rank projection ABOVE the top-k
@@ -111,6 +116,26 @@ def main() -> None:
     assert not re.search(r"Window \[", below_topk), (
         "phrase plan has a Window below the top-k!"
     )
+    # single-SCAN shape: both subtrees must consume the shared cache,
+    # and every positions FileScan in the printed plan must sit inside
+    # the (twice-printed, once-executed) InMemoryRelation
+    assert p2.count("InMemoryTableScan") == 2, (
+        "phrase ranking and phrase-df count no longer share the "
+        "persisted matched-doc frame — the positions pipeline would "
+        "execute twice"
+    )
+    pos_scans = len(re.findall(r"FileScan parquet \[[^\]]*positions", p2))
+    assert pos_scans == p2.count("InMemoryRelation"), (
+        f"{pos_scans} positions scans vs {p2.count('InMemoryRelation')} "
+        "InMemoryRelation prints — a positions scan escaped the cache"
+    )
+    # single-AGGREGATE coverage shape: the one-hot bitmask, not the
+    # count(distinct i) expansion with its extra (doc_id, base, i)
+    # exchange
+    assert "bit_or" in p2, "phrase coverage lost the bitmask aggregate"
+    assert "count(distinct" not in p2 and not re.search(
+        r"keys=\[doc_id#\d+L?, base#\d+, i#", p2
+    ), "phrase coverage regressed to the count(distinct) double aggregate"
 
     p3 = dump(
         "MaxScore with driver-resident candidates — ONE job",

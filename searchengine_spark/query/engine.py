@@ -78,6 +78,7 @@ class SearchEngine:
         self._block_summary_cache: dict[str, Optional[dict]] = {}
         self._block_summary_full = False
         self._block_summary_should_load: Optional[bool] = None
+        self._phrase_caches: list[DataFrame] = []
         self._lexicon_df: Optional[DataFrame] = None
         self._positions_df: Optional[DataFrame] = None
         self.postings = spark.read.parquet(os.path.join(self.index_dir, "postings"))
@@ -98,6 +99,7 @@ class SearchEngine:
         self._block_summary_cache.clear()
         self._block_summary_full = False
         self._block_summary_should_load = None
+        self._retire_phrase_cache(None)
         self._lexicon_df = None
         self._positions_df = None
         with open(os.path.join(self.index_dir, "stats.json")) as f:
@@ -816,6 +818,16 @@ class SearchEngine:
 
     # ---------- phrase queries (positional index; beyond-reference) ----------
 
+    def _retire_phrase_cache(self, new: Optional[DataFrame]) -> None:
+        """Unpersist previous phrase queries' matched-doc caches and
+        (when ``new`` is given) track the next one. Deferred-by-one so
+        the frame returned to the caller keeps its cache until the NEXT
+        phrase query — unpersisting inside the same call would drop the
+        cache before the caller ever collects."""
+        for df in self._phrase_caches:
+            df.unpersist(blocking=False)
+        self._phrase_caches = [new] if new is not None else []
+
     def phrase_search(self, phrase: str, k: int = 10) -> DataFrame:
         """Exact phrase top-k over the positional index (requires a build
         with ``positions=True``). A phrase occurrence is a run of the
@@ -823,17 +835,32 @@ class SearchEngine:
         token sequence (stopwords removed, stems applied) — the standard
         semantics for a stopped/stemmed index.
 
-        One Spark job, all JVM-side: read the phrase terms' bucket-pruned
-        positions rows, shift each term's positions by its phrase offset
-        (an occurrence at base b means term_i sits at b+i), and a doc's
-        phrase tf is the number of bases covered by ALL terms —
-        ``groupBy(doc_id, base)`` + coverage count, no per-term join
-        chain. Scoring is BM25 treating the phrase as one pseudo-term:
-        idf from the phrase's doc frequency (computed in-plan), the
-        usual Q-1/Q-4 quirks preserved. Strict semantics: a phrase with
-        any unindexed term matches nothing (unlike the disjunctive
-        paths' drop-unknown-terms rule — dropping a phrase word would
-        silently change the phrase)."""
+        ONE positions scan, ONE exchange, all JVM-side: read the phrase
+        terms' bucket-pruned positions rows, shift each term's positions
+        by its phrase offset (an occurrence at base b means term_i sits
+        at b+i; the offset comes from a literal map lookup — no
+        broadcast-join of a local relation, which cost an extra exchange
+        plus a py4j-built DataFrame per query), and a doc's phrase tf is
+        the number of bases covered by ALL terms — ``groupBy(doc_id,
+        base)`` + coverage count, no per-term join chain. An explicit
+        ``repartition(doc_id)`` feeds BOTH aggregations from the same
+        exchange: hashpartitioning(doc_id) satisfies the (doc_id, base)
+        clustering requirement too, so the per-base coverage agg and the
+        per-doc tf agg run in one stage with no second shuffle (the
+        map-side partial agg the repartition skips merges almost
+        nothing here — rows with equal (doc_id, base) only arise when
+        different terms' positions align, i.e. at actual matches). The
+        matched-doc frame is persisted so the phrase-df count and the
+        ranking share the scan (two Spark jobs — the broadcast count
+        materializes the cache — but the positions pipeline executes
+        once). Scoring is BM25 treating the phrase as one pseudo-term:
+        idf from the phrase's doc frequency, the usual Q-1/Q-4 quirks
+        preserved; ranking happens on the idf-free partial (idf is a
+        positive per-query constant) so only the k winners touch the df
+        scalar. Strict semantics: a phrase with any unindexed term
+        matches nothing (unlike the disjunctive paths'
+        drop-unknown-terms rule — dropping a phrase word would silently
+        change the phrase)."""
         pos_dir = os.path.join(self.index_dir, "positions")
         if not os.path.exists(pos_dir):
             raise RuntimeError(
@@ -845,17 +872,22 @@ class SearchEngine:
             t[: self.config.term_dim]
             for t in tokenize_doc_py(phrase, self.config)
         ]
-        # phrase_tf is int in BOTH the empty and populated paths (the
-        # scored path casts to int below) so callers can union/compare
-        # schemas regardless of whether the phrase matched
-        empty = self.spark.createDataFrame(
-            [], "rank int, doc_id long, score double, phrase_tf int"
-        )
+
+        def empty() -> DataFrame:
+            # phrase_tf is int in BOTH the empty and populated paths
+            # (the scored path casts to int below) so callers can
+            # union/compare schemas regardless of whether the phrase
+            # matched. Built lazily — the hot path never pays the
+            # schema-parse/py4j cost of a frame it discards.
+            return self.spark.createDataFrame(
+                [], "rank int, doc_id long, score double, phrase_tf int"
+            )
+
         if not terms:
-            return empty
+            return empty()
         stats = self._term_stats(terms)
         if any(t not in stats for t in terms):
-            return empty  # strict: unknown word => phrase cannot occur
+            return empty()  # strict: unknown word => phrase cannot occur
 
         # resolve the positions frame ONCE per engine (directory listing
         # + schema read are driver-side costs a per-query re-read would
@@ -863,17 +895,34 @@ class SearchEngine:
         if self._positions_df is None:
             self._positions_df = self.spark.read.parquet(pos_dir)
         pos = self._positions_df.filter(self._bucket_filter(terms))
-        idx = self.spark.createDataFrame(
-            list(enumerate(terms)), "i int, term string"
+        # term -> ARRAY of phrase offsets as a literal map: a term
+        # repeated in the phrase ("big data big") occupies several
+        # offsets, and each position row must fan out to all of them —
+        # exactly what the old broadcast-join against an (i, term) local
+        # relation did, minus that join's extra exchange and the
+        # py4j-built DataFrame per query.
+        offs: dict[str, list[int]] = {}
+        for i, t in enumerate(terms):
+            offs.setdefault(t, []).append(i)
+        imap = F.create_map(
+            *[
+                x
+                for t, idxs in offs.items()
+                for x in (F.lit(t), F.array(*[F.lit(i) for i in idxs]))
+            ]
         )
         has_doc_len = "doc_len" in pos.columns
-        cols = ["doc_id", "i", F.explode("positions").alias("p")] + (
-            [F.col("doc_len")] if has_doc_len else []
-        )
+        cols = [
+            "doc_id",
+            F.element_at(imap, F.col("term")).alias("_is"),
+            F.explode("positions").alias("p"),
+        ] + ([F.col("doc_len")] if has_doc_len else [])
         bases = (
-            pos.join(F.broadcast(idx), "term")
-            .select(*cols)
+            pos.select(*cols)
+            .select("*", F.explode("_is").alias("i"))
+            .drop("_is")
             .withColumn("base", F.col("p") - F.col("i"))
+            .repartition("doc_id")
         )
         # coverage test: base b is a phrase occurrence iff every term
         # index i appears at (doc_id, b). count_distinct(i) would compile
@@ -899,6 +948,20 @@ class SearchEngine:
             [F.first("doc_len").alias("doc_len")] if has_doc_len else []
         )
         ptf = occ.groupBy("doc_id").agg(*ptf_aggs)
+        # ONE positions scan. Both remaining consumers — the top-k
+        # ranking and the 1-row phrase_df count — read this matched-doc
+        # frame; un-persisted, the broadcast count subtree would
+        # re-execute the entire match pipeline (the round-3 plan showed
+        # two full aggregation chains over the positions scan — 2x the
+        # dominant cost at any scale). The frame is the smallest thing
+        # worth sharing: 3 numeric columns x |matching docs| rows,
+        # spillable. The broadcast job materializes the cache; the main
+        # subtree then reads it. Retired on the next phrase query /
+        # refresh(), never before the caller can collect.
+        from pyspark import StorageLevel
+
+        ptf = ptf.persist(StorageLevel.MEMORY_AND_DISK)
+        self._retire_phrase_cache(ptf)
         if has_doc_len:
             # doc_len rides in the positions rows (build >= r2): no
             # doctable join — the whole query is scan -> two aggs -> topk
@@ -913,21 +976,28 @@ class SearchEngine:
         partial = bm25_partial_expr(
             F.col("phrase_tf"), F.col("doc_len"), self.stats["avgdl"], cfg.k1, cfg.b
         )
-        # phrase df as a 1-row count aggregate broadcast-cross-joined
-        # back onto the matches. An unbounded Window.partitionBy() would
-        # compute the same value but funnel EVERY matching doc through
-        # one task — a serialization point for a high-df phrase (any
-        # 2-gram of common code tokens at web scale); the agg keeps the
-        # count partial/map-side and the join adds one scalar per row.
-        phrase_df_row = scored.agg(
+        # idf = log10(n_docs / phrase_df) is a per-query POSITIVE
+        # constant (phrase_df <= true_docs < n_docs under Q-1
+        # inflation), so ranking by the idf-free partial is
+        # rank-identical — ties included: equal partial <=> equal final
+        # score. Top-k FIRST, then attach phrase_df (a 1-row count
+        # aggregate broadcast-cross-joined — an unbounded
+        # Window.partitionBy() would funnel every matching doc through
+        # one task) and scale only the k winners. Same bits as scaling
+        # pre-top-k: one double multiply, same operand order.
+        topk = (
+            scored.select("doc_id", partial.alias("_partial"), "phrase_tf")
+            .orderBy(F.desc("_partial"), F.asc("doc_id"))
+            .limit(k)
+        )
+        phrase_df_row = ptf.agg(
             F.count("*").cast("long").alias("phrase_df")
         )
-        scored = scored.crossJoin(F.broadcast(phrase_df_row))
+        topk = topk.crossJoin(F.broadcast(phrase_df_row))
         idf = F.log10(F.lit(float(self.stats["n_docs"])) / F.col("phrase_df"))
-        per_doc = scored.select(
-            "doc_id", (partial * idf).alias("score"), "phrase_tf"
+        topk = topk.select(
+            "doc_id", (F.col("_partial") * idf).alias("score"), "phrase_tf"
         )
-        topk = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return topk.withColumn("rank", F.row_number().over(w)).select(
             "rank", "doc_id", "score", "phrase_tf"
