@@ -49,6 +49,13 @@ ENTRY_CONFIG_C = EngineConfig(
     stopstem=False, stopwords_only=True, skip_threshold=64,
     shuffle_partitions=16, compression=True,
 )
+# gap-encoded docIDs on top of the compressed layout (the reference's
+# Posting.java:7 TODO, round 4) — same oracle SQL again: the delta layer
+# must be invisible to results
+ENTRY_CONFIG_CD = EngineConfig(
+    stopstem=False, stopwords_only=True, skip_threshold=64,
+    shuffle_partitions=16, compression=True, delta_docids=True,
+)
 
 Q_DISJ = "spark table join fast"
 Q_PHRASE = "merge column"
@@ -92,11 +99,12 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _engine(
-    spark: SparkSession, sf_dir: str, compressed: bool = False
+    spark: SparkSession, sf_dir: str, compressed: bool = False,
+    delta: bool = False,
 ) -> SearchEngine:
-    key = (os.path.abspath(sf_dir), compressed)
+    key = (os.path.abspath(sf_dir), compressed, delta)
     if key not in _ENGINE_CACHE:
-        suffix = "_c" if compressed else ""
+        suffix = "_cd" if delta else ("_c" if compressed else "")
         idx = (
             "/tmp/se_entry_index/"
             + hashlib.md5(key[0].encode()).hexdigest()[:12]
@@ -134,7 +142,9 @@ def _engine(
             spark,
             load_documents_as_corpus(spark, sf_dir),
             idx,
-            ENTRY_CONFIG_C if compressed else ENTRY_CONFIG,
+            ENTRY_CONFIG_CD
+            if delta
+            else (ENTRY_CONFIG_C if compressed else ENTRY_CONFIG),
             resume=True,
         )
         _ENGINE_CACHE[key] = SearchEngine(spark, idx)
@@ -417,6 +427,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # results must be identical (C1/C2/S6 + _decode_blocks under oracle)
         return _topk_df(_engine(spark, sf, compressed=True), Q_DISJ, k=10)
 
+    def bm25_topk_compressed_delta(spark, sf):
+        # gap-encoded docIDs (delta_docids=True) under the same oracle:
+        # the delta layer must be invisible to results
+        return _topk_df(
+            _engine(spark, sf, compressed=True, delta=True), Q_DISJ, k=10
+        )
+
+    def batch_efficiency_shape(spark, sf):
+        # S10 "e" mode (TestPerformance.java:58-104) under the oracle:
+        # the report's latencies are non-deterministic, so the pinned
+        # surface is the deterministic remainder — per-query result
+        # counts, k, and query count — produced by the REAL
+        # batch_efficiency_report call (one batch job).
+        from searchengine_spark.query.trec import batch_efficiency_report
+
+        rep = batch_efficiency_report(_engine(spark, sf), BATCH_QUERIES, k=10)
+        rows = [
+            (qid, int(rep["per_query_results"][qid]), int(rep["k"]),
+             int(rep["n_queries"]))
+            for qid, _t in BATCH_QUERIES
+        ]
+        return spark.createDataFrame(
+            rows, "query_id string, n_results long, k long, n_queries long"
+        )
+
     def batch_topk(spark, sf):
         # single-job batch path: one broadcast-join plan for all queries
         return (
@@ -601,8 +636,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk_ivf": embedding_cosine_topk_ivf,
         "ann_ivf_recall": ann_ivf_recall,
         "bm25_topk_compressed": bm25_topk_compressed,
+        "bm25_topk_compressed_delta": bm25_topk_compressed_delta,
         "phrase_topk": phrase_topk,
         "batch_topk": batch_topk,
+        "batch_efficiency_shape": batch_efficiency_shape,
         "dedup_near_groups": dedup_near_groups,
         "retrieval_effectiveness": retrieval_effectiveness,
         "trec_run_roundtrip": trec_run_roundtrip,
@@ -1001,6 +1038,8 @@ FROM base
     # identical SQL as the raw-index disjunctive query: the compressed
     # index must produce the same results bit-for-bit
     sql["bm25_topk_compressed"] = _topk_sql(Q_DISJ)
+    # and again for the delta-docID layout (round 4)
+    sql["bm25_topk_compressed_delta"] = _topk_sql(Q_DISJ)
 
     # exact phrase: positions are indices into the post-pipeline token
     # sequence; an occurrence at base b has term_i at b+i; BM25 treats
@@ -1046,6 +1085,20 @@ LIMIT 10
         for qid, text in BATCH_QUERIES
     )
     sql["batch_topk"] = _batch_union
+
+    # S10 "e" mode deterministic surface: per-query result counts over
+    # the same batch union, zero-result queries kept via LEFT JOIN
+    _qid_vals = ", ".join(f"('{qid}')" for qid, _ in BATCH_QUERIES)
+    sql["batch_efficiency_shape"] = f"""
+WITH run AS ({_batch_union}),
+qids(query_id) AS (VALUES {_qid_vals})
+SELECT qids.query_id,
+       CAST(COALESCE(COUNT(run.query_id), 0) AS BIGINT) AS n_results,
+       CAST(10 AS BIGINT) AS k,
+       CAST({len(BATCH_QUERIES)} AS BIGINT) AS n_queries
+FROM qids LEFT JOIN run ON qids.query_id = run.query_id
+GROUP BY qids.query_id
+"""
 
     # synthetic graded qrels (query i judges docs with doc_id % 5 == i,
     # rel = 1 + doc_id % 3) -> per-query RR + nDCG@10 over the batch run.

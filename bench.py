@@ -241,6 +241,50 @@ def main() -> None:
         statistics.median(best["maxscore"]), 3
     )
 
+    # --- 1M-doc corpus: the first-class MaxScore-vs-DAAT evidence ---
+    # At 100k docs the pair above is dominated by fixed per-query
+    # overheads and box noise (BENCH_r03 recorded an inversion that
+    # best-of-4 reruns could not reproduce); at 1M docs the pruning
+    # savings (>= 1.2M postings/query) dwarf the noise floor. Corpus and
+    # index are content-addressed in /tmp and SHARED with
+    # scripts/zipf_scale.py — the ~7-min build is paid once per box,
+    # then every bench run reuses it; index_build_zipf1m is recorded
+    # only on the run that actually built.
+    z1_src = "/tmp/se_zipf_1000000_200000_src"
+    z1_idx = "/tmp/se_zipf_1000000_200000_idx"
+    if not os.path.exists(os.path.join(z1_src, "_SUCCESS")):
+        zipf_corpus(spark, 1_000_000, vocab_size=200_000).write.mode(
+            "overwrite"
+        ).parquet(z1_src)
+    if not os.path.exists(os.path.join(z1_idx, "stats.json")):
+        t0 = time.time()
+        build_index(
+            spark, spark.read.parquet(z1_src), z1_idx, cfg, resume=False
+        )
+        timings["index_build_zipf1m"] = round(time.time() - t0, 3)
+    z1 = SearchEngine(spark, z1_idx)
+    z1lex = [
+        (r["term"], r["df"])
+        for r in z1.lexicon.select("term", "df").collect()
+    ]
+    z1qs = mixed_selectivity_queries(z1lex, 8)
+    z1.search(z1qs[0], k=10).collect()
+    z1.search(z1qs[0], k=10, algo="maxscore").collect()
+    best1m = {"daat": [], "maxscore": []}
+    for q in z1qs:
+        per = {"daat": [], "maxscore": []}
+        for _ in range(2):
+            for algo in ("daat", "maxscore"):
+                t0 = time.time()
+                z1.search(q, k=10, algo=algo).collect()
+                per[algo].append(time.time() - t0)
+        for a in per:
+            best1m[a].append(min(per[a]))
+    timings["query_bm25_1m"] = round(statistics.median(best1m["daat"]), 3)
+    timings["query_maxscore_1m"] = round(
+        statistics.median(best1m["maxscore"]), 3
+    )
+
     # amortized batch path: ONE job for the whole query set
     t0 = time.time()
     engine.batch_search([(f"q{i}", q) for i, q in enumerate(queries)], k=10).count()
@@ -279,6 +323,10 @@ def main() -> None:
     timings["index_build_positions"] = round(time.time() - t0, 3)
     pos_engine = SearchEngine(spark, idx_pos)
 
+    # warm the positions footers/plan first, like every other query
+    # section (the first call after a fresh build pays worker-pool and
+    # file-listing costs that are not the phrase path's)
+    pos_engine.phrase_search("merge column", k=10).collect()
     timed("query_phrase",
           lambda: pos_engine.phrase_search("merge column", k=10).collect())
 

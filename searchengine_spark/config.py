@@ -24,6 +24,16 @@ class EngineConfig:
     # VByte(docIds) + Unary(tfs) posting compression (Flags.java:17)
     compression: bool = False
 
+    # Gap-encode docIDs before VByte (requires compression=True). The
+    # reference stores ABSOLUTE ids and notes delta encoding as a TODO
+    # it never implemented (Posting.java:7; VariableBytes.java:15-46
+    # encodes raw ids), so raw layout stays the parity default. Blocks
+    # are doc_id-sorted (IndexMerger order preserved by the build), so
+    # per-block gaps are >= 1 and shrink the dominant index column: at
+    # 10^12-doc scale an absolute id costs ~6 VByte bytes while a gap
+    # in a dense list costs 1-2. Query results are identical.
+    delta_docids: bool = False
+
     # Orthogonal split of the reference's single sws flag: the DuckDB
     # correctness oracles can replicate stopword removal in SQL but not
     # Porter stemming, so each half can be toggled alone. When ``stopstem``

@@ -66,6 +66,29 @@ def vbyte_decode(buf: bytes) -> np.ndarray:
     return vals.astype(np.int64)
 
 
+def vbyte_encode_delta(values) -> bytes:
+    """Gap-encode a strictly increasing 1-D array of ints >= 1, then
+    VByte the gaps (first value absolute). Every gap is >= 1 because
+    block doc_ids are sorted and distinct, so the VByte >=1 domain
+    holds. This is the delta layout the reference left as a TODO
+    (Posting.java:7); byte format of each group is IDENTICAL to
+    :func:`vbyte_encode` — only the values differ."""
+    v = np.asarray(values, dtype=np.int64)
+    if v.size == 0:
+        return b""
+    gaps = np.diff(v)
+    if v[0] < 1 or (gaps < 1).any():
+        raise ValueError(
+            "vbyte_encode_delta requires strictly increasing values >= 1"
+        )
+    return vbyte_encode(np.concatenate(([v[0]], gaps)))
+
+
+def vbyte_decode_delta(buf: bytes) -> np.ndarray:
+    """Decode gap-encoded VByte bytes back to absolute int64 values."""
+    return np.cumsum(vbyte_decode(buf))
+
+
 def unary_encode(tfs) -> bytes:
     """Encode a 1-D array of tfs >= 1 into reference Unary layout
     (including the Q-5 extra pad byte)."""

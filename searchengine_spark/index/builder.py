@@ -489,7 +489,7 @@ class IndexBuilder:
             )
 
             if cfg.compression:
-                blocks = _compress_blocks(blocks)
+                blocks = _compress_blocks(blocks, delta=cfg.delta_docids)
 
             (
                 blocks.repartition(cfg.shuffle_partitions, "term_bucket")
@@ -660,7 +660,7 @@ class IndexBuilder:
         return manifest
 
 
-def _compress_blocks(blocks: DataFrame) -> DataFrame:
+def _compress_blocks(blocks: DataFrame, delta: bool = False) -> DataFrame:
     """Replace the array columns with reference-format compressed binaries
     (VByte docIds + Unary tfs) via an Arrow-batched pandas UDF.
     doc_lens stay as a plain int array beside the blobs (parquet's own
@@ -669,11 +669,16 @@ def _compress_blocks(blocks: DataFrame) -> DataFrame:
     shuffle join — the same trade the raw layout and the positional stage
     already make. (The reference instead looks doc length up in its
     RAM-resident doc table at score time, Score.java:26.)
+
+    ``delta=True`` gap-encodes the (sorted) per-block doc_ids before
+    VByte — the reference's own unfulfilled TODO (Posting.java:7); see
+    EngineConfig.delta_docids.
     """
+    enc = codecs.vbyte_encode_delta if delta else codecs.vbyte_encode
 
     @F.pandas_udf(T.BinaryType())
     def vb(col: pd.Series) -> pd.Series:
-        return col.map(lambda a: codecs.vbyte_encode(a))
+        return col.map(lambda a: enc(a))
 
     @F.pandas_udf(T.BinaryType())
     def un(col: pd.Series) -> pd.Series:

@@ -9,10 +9,14 @@ Decode support:
   non-interlaced images with all five scanline filters. No external
   imaging library needed; written from the public PNG specification
   (RFC 2083 §6: filter types None/Sub/Up/Average/Paeth).
-* other codecs (JPEG/audio/video) are declared stubs: their libraries
+* **baseline JPEG is decoded for real** too — a pure numpy/stdlib codec
+  (``pipeline/jpeg.py``: Huffman + dequant + IDCT + chroma upsample +
+  restart markers, written from the public T.81 spec). Progressive /
+  arithmetic JPEG raises ``NotImplementedError`` with a clear message.
+* remaining codecs (audio/video) are declared stubs: their libraries
   are not in this environment, so ``extract_features(fake=False)``
-  raises NotImplementedError for non-PNG payloads. ``fake=True`` keeps
-  the deterministic digest-seeded decoder for plumbing tests.
+  raises NotImplementedError for non-PNG/JPEG payloads. ``fake=True``
+  keeps the deterministic digest-seeded decoder for plumbing tests.
 """
 
 from __future__ import annotations
@@ -28,8 +32,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+JPEG_MAGIC = b"\xff\xd8"
 
 _COLOR_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # PNG color type -> channels
+
+
+def image_decode(payload: bytes) -> np.ndarray:
+    """Format-dispatching real decode: PNG or baseline JPEG by magic
+    bytes -> (H, W[, C]) uint8. Anything else raises with the format
+    named."""
+    if payload.startswith(PNG_MAGIC):
+        return png_decode(payload)
+    if payload.startswith(JPEG_MAGIC):
+        from .jpeg import jpeg_decode
+
+        img = jpeg_decode(payload)
+        return img if img.ndim == 3 else img[:, :, None]
+    raise NotImplementedError(
+        "unrecognized image payload (PNG and baseline JPEG decode for "
+        "real; audio/video codec libraries unavailable in this "
+        "environment — use fake=True for those)"
+    )
+
+
+def image_dimensions(payload: bytes):
+    """(width, height, format) header probe without decoding pixel data;
+    (None, None, None) for unrecognized payloads."""
+    try:
+        if payload.startswith(PNG_MAGIC):
+            w, h = struct.unpack(">II", payload[16:24])
+            return int(w), int(h), "png"
+        if payload.startswith(JPEG_MAGIC):
+            from .jpeg import jpeg_dimensions
+
+            w, h, _nc = jpeg_dimensions(payload)
+            return w, h, "jpeg"
+    except Exception:
+        pass
+    return None, None, None
 
 
 def png_encode(arr: np.ndarray) -> bytes:
@@ -162,11 +202,28 @@ MEDIA_SCHEMA = (
 FEATURE_SCHEMA = "doc_id long, media_type string, feature array<float>"
 
 
-def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Typed metadata over an opaque binary column (cheap, JVM-side)."""
-    return df.withColumn("n_bytes", F.length(F.col(payload_col)).cast("long")).withColumn(
-        "payload_sha", F.sha2(F.col(payload_col), 256)
-    )
+def attach_media_metadata(
+    df: DataFrame, payload_col: str = "payload", dimensions: bool = False
+) -> DataFrame:
+    """Typed metadata over an opaque binary column. n_bytes/sha are
+    cheap JVM-side columns; ``dimensions=True`` adds (width, height,
+    format) via a vectorized pandas UDF that parses only the PNG IHDR /
+    JPEG SOF headers — no pixel decode, nulls for unrecognized
+    payloads."""
+    out = df.withColumn(
+        "n_bytes", F.length(F.col(payload_col)).cast("long")
+    ).withColumn("payload_sha", F.sha2(F.col(payload_col), 256))
+    if not dimensions:
+        return out
+
+    @F.pandas_udf("struct<width: int, height: int, format: string>")
+    def dims(col: pd.Series) -> pd.DataFrame:
+        rows = [image_dimensions(bytes(p)) for p in col]
+        return pd.DataFrame(rows, columns=["width", "height", "format"])
+
+    return out.withColumn("_d", dims(F.col(payload_col))).select(
+        "*", "_d.width", "_d.height", "_d.format"
+    ).drop("_d")
 
 
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
@@ -182,10 +239,11 @@ def extract_features(
     """mapInPandas feature extraction over binary payloads. Arrow batches
     in, one feature row per media row out. Partition-parallel; no shuffle.
 
-    ``fake=False`` decodes PNG payloads FOR REAL (png_decode) and emits
-    image_features; non-PNG payloads raise NotImplementedError (their
-    codec libraries are not in this environment). ``fake=True`` keeps the
-    deterministic digest-seeded decoder for plumbing tests."""
+    ``fake=False`` decodes PNG and baseline JPEG payloads FOR REAL
+    (image_decode) and emits image_features; other payloads raise
+    NotImplementedError (their codec libraries are not in this
+    environment). ``fake=True`` keeps the deterministic digest-seeded
+    decoder for plumbing tests."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -194,16 +252,10 @@ def extract_features(
                     _fake_decode(bytes(p), dim).tolist() for p in pdf["payload"]
                 ]
             else:
-                feats = []
-                for p in pdf["payload"]:
-                    raw = bytes(p)
-                    if not raw.startswith(PNG_MAGIC):
-                        raise NotImplementedError(
-                            "only PNG payloads decode for real in this "
-                            "environment (JPEG/audio/video codec libraries "
-                            "unavailable) — use fake=True for those"
-                        )
-                    feats.append(image_features(png_decode(raw), dim).tolist())
+                feats = [
+                    image_features(image_decode(bytes(p)), dim).tolist()
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -218,15 +270,15 @@ def extract_features(
 def image_thumbnails(
     media: DataFrame, out_h: int = 16, out_w: int = 16
 ) -> DataFrame:
-    """Real decode -> nearest-neighbour resize -> re-encode PNG, all
-    inside one Arrow-batched mapInPandas (no shuffle): (doc_id, width,
-    height, thumb_png binary)."""
+    """Real decode (PNG or baseline JPEG) -> nearest-neighbour resize ->
+    re-encode PNG, all inside one Arrow-batched mapInPandas (no
+    shuffle): (doc_id, width, height, thumb_png binary)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"doc_id": [], "width": [], "height": [], "thumb_png": []}
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                img = png_decode(bytes(p))
+                img = image_decode(bytes(p))
                 rows["doc_id"].append(doc_id)
                 rows["height"].append(img.shape[0])
                 rows["width"].append(img.shape[1])

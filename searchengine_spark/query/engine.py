@@ -360,7 +360,7 @@ class SearchEngine:
         import numpy as np
         import pyarrow.dataset as ds
 
-        from ..functions.codecs import vbyte_decode
+        from ..functions.codecs import vbyte_decode, vbyte_decode_delta
 
         bm_col = "block_max_bm25" if scorer == "bm25" else "block_max_tfidf"
         ub_key = "max_bm25" if scorer == "bm25" else "max_tfidf"
@@ -382,7 +382,12 @@ class SearchEngine:
             filter=ds.field("term_bucket").isin(buckets) & expr, columns=[col]
         )
         if self.config.compression:
-            arrs = [vbyte_decode(b.as_py()) for b in tbl[col]]
+            dec = (
+                vbyte_decode_delta
+                if self.config.delta_docids
+                else vbyte_decode
+            )
+            arrs = [dec(b.as_py()) for b in tbl[col]]
         else:
             arrs = [np.asarray(a.as_py(), dtype=np.int64) for a in tbl[col]]
         if not arrs:
@@ -477,7 +482,7 @@ class SearchEngine:
                 )
             )
         if self.config.compression:
-            exploded = _decode_blocks(blocks)
+            exploded = _decode_blocks(blocks, delta=self.config.delta_docids)
             if not self._decoded_has_doc_len:
                 # pre-r3 compressed index without in-row doc_lens: re-join
                 # the doctable (one shuffle the current layout avoids)
@@ -658,11 +663,15 @@ class SearchEngine:
     # cost of producing candidates (driver-side pyarrow read of the
     # essential lists, or a candidate scan job) exceeds what pruning can
     # save and MaxScore should degrade to DAAT + the free theta/block-max
-    # filters. Measured on Zipf corpora (interleaved best-of runs, same
-    # box): at 100k docs (savings <= 200k postings) the candidate path
-    # LOST 0.3-0.45 s/query vs DAAT; at 1M docs (savings >= 1.2M) it won
-    # every query by 0.2-0.5 s. 400k sits between with margin both ways.
-    PRUNE_MIN_POSTINGS = 400_000
+    # filters. Re-measured round 4 with the literal-candidate path
+    # (interleaved best-of-4, 12 mixed queries, 100k-doc Zipf, same
+    # box): candidate pruning at savings ~100-140k postings now runs at
+    # or slightly below DAAT (p50 0.502 s vs 0.519 s) while the gated
+    # degradation pays ~50 ms of thresh-map/filter overhead (0.570 s) —
+    # so the r3 value of 400k, measured before the exists()/InSet form
+    # stabilized, was leaving wins on the table. At 1M docs (savings >=
+    # 1.2M) pruning won every query by 0.2-0.5 s (ZIPF_SCALE.json).
+    PRUNE_MIN_POSTINGS = 100_000
     # phrase coverage uses a one-hot bit_or up to this many terms (the
     # mask must fit a signed long); longer phrases use count_distinct
     PHRASE_BITMASK_MAX = 62
@@ -813,7 +822,9 @@ class SearchEngine:
         )
         if self.config.compression:
             # doc_lens dropped pre-decode: candidates only need doc_id
-            return _decode_blocks(blocks.drop("doc_lens")).select("doc_id")
+            return _decode_blocks(
+                blocks.drop("doc_lens"), delta=self.config.delta_docids
+            ).select("doc_id")
         return blocks.select(F.explode("doc_ids").alias("doc_id"))
 
     # ---------- phrase queries (positional index; beyond-reference) ----------
@@ -1119,14 +1130,15 @@ class SearchEngine:
         )
 
 
-def _decode_blocks(blocks: DataFrame) -> DataFrame:
+def _decode_blocks(blocks: DataFrame, delta: bool = False) -> DataFrame:
     """mapInPandas decoder for compressed blocks -> (term, doc_id, tf
     [, doc_len]). Fully vectorized per Arrow batch: the codecs return
     numpy arrays which are np.concatenate'd into ONE output frame per
     batch (the term column via np.repeat) — no per-block-row pandas
     DataFrame allocation, which on a big compressed query was millions
     of tiny frames. Input is column-pruned to exactly the decoder's
-    needs so the parquet scan skips block metadata columns."""
+    needs so the parquet scan skips block metadata columns. ``delta``
+    selects the gap-encoded docID layout (EngineConfig.delta_docids)."""
     import numpy as np
 
     from ..functions import codecs
@@ -1143,7 +1155,8 @@ def _decode_blocks(blocks: DataFrame) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids = [codecs.vbyte_decode(b) for b in pdf["doc_ids_vb"]]
+            dec = codecs.vbyte_decode_delta if delta else codecs.vbyte_decode
+            ids = [dec(b) for b in pdf["doc_ids_vb"]]
             tfs = [
                 codecs.unary_decode(b, n)
                 for b, n in zip(pdf["tfs_unary"], pdf["n_postings"])

@@ -132,12 +132,25 @@ def batch_efficiency_report(
     number that stays ~flat per added query — the scale story the serial
     report can't show (its cost is N x job-submission overhead)."""
     t0 = time.time()
-    n_rows = engine.batch_search(queries, k=k, **search_kw).count()
+    # ONE action: the per-query result counts ride the same job as the
+    # total (a groupBy over the <= N*k result rows), and unlike the
+    # latencies they are DETERMINISTIC — the driver oracle pins them
+    per_counts = {
+        r["query_id"]: r["count"]
+        for r in engine.batch_search(queries, k=k, **search_kw)
+        .groupBy("query_id")
+        .count()
+        .collect()
+    }
     total = time.time() - t0
+    for qid, _text in queries:
+        per_counts.setdefault(qid, 0)  # all-unknown-term queries: 0 rows
+    n_rows = int(sum(per_counts.values()))
     n = max(len(queries), 1)
     return {
         "n_queries": len(queries),
         "result_rows": n_rows,
+        "per_query_results": per_counts,
         "total_sec": round(total, 4),
         "amortized_sec_per_query": round(total / n, 4),
         "queries_per_sec": round(n / total, 2) if total > 0 else None,

@@ -130,12 +130,14 @@ def test_extract_features_real_decode(spark):
         )
 
 
-def test_extract_features_non_png_raises(spark):
+def test_extract_features_unrecognized_payload_raises(spark):
+    # JPEG decodes for real since round 4; a non-image payload is the
+    # remaining declared stub
     df = spark.createDataFrame(
-        [(1, "image", bytearray(b"JFIF-ish bytes"))],
+        [(1, "audio", bytearray(b"RIFF....WAVEdata"))],
         "doc_id long, media_type string, payload binary",
     )
-    with pytest.raises(Exception, match="only PNG payloads"):
+    with pytest.raises(Exception, match="unrecognized image payload"):
         MM.extract_features(df, fake=False).collect()
 
 
