@@ -175,6 +175,33 @@ def with_rp_signatures(
     )
 
 
+def banded_signatures(
+    vectors: DataFrame,
+    planes: np.ndarray,
+    bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec) -> one row per (id, band) with the band's signature
+    slice: the shared write-side shape of the batch LSH store
+    (ann_build_lsh) and the streaming segment appender
+    (streaming/ann.py)."""
+    n_planes = planes.shape[0]
+    assert n_planes % bands == 0
+    band_bits = n_planes // bands
+    mask = (1 << band_bits) - 1
+    signed = with_rp_signatures(vectors, planes, id_col, vec_col)
+    return signed.select(
+        id_col,
+        vec_col,
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftright(sig, band * {band_bits}) & {mask}"),
+    )
+
+
 def ann_build_lsh(
     vectors: DataFrame,
     out_dir: str,
@@ -190,20 +217,8 @@ def ann_build_lsh(
     directories. A query probes exactly ``bands`` partitions (its own
     band values), which by pigeonhole contains every vector within
     Hamming distance bands-1 of the query signature."""
-    assert n_planes % bands == 0
-    band_bits = n_planes // bands
-    mask = (1 << band_bits) - 1
     planes = hyperplanes(dim, n_planes, seed)
-    signed = with_rp_signatures(vectors, planes, id_col, vec_col)
-    exploded = signed.select(
-        id_col,
-        vec_col,
-        "sig",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-    ).withColumn(
-        "band_val",
-        F.expr(f"shiftright(sig, band * {band_bits}) & {mask}"),
-    )
+    exploded = banded_signatures(vectors, planes, bands, id_col, vec_col)
     (
         exploded.write.mode("overwrite")
         .partitionBy("band", "band_val")
@@ -219,6 +234,34 @@ def ann_build_lsh(
     }
     with open(os.path.join(out_dir, "ann_meta.json"), "w") as f:
         json.dump(meta, f)
+
+
+def lsh_query_signature(meta: dict, query_vec: list[float]) -> int:
+    """The query vector's full hyperplane signature under a store's
+    persisted planes (ann_meta.json)."""
+    planes = np.asarray(meta["planes"])
+    return int(
+        sum(
+            1 << i
+            for i, p in enumerate(planes)
+            if float(np.dot(p, query_vec)) > 0
+        )
+    )
+
+
+def lsh_probe_filter(meta: dict, qsig: int):
+    """Partition-pruning predicate selecting exactly the query's
+    ``bands`` (band, band_val) partitions."""
+    bands = meta["bands"]
+    band_bits = meta["n_planes"] // bands
+    probe = None
+    for b in range(bands):
+        cond = (F.col("band") == b) & (
+            F.col("band_val")
+            == ((qsig >> (b * band_bits)) & ((1 << band_bits) - 1))
+        )
+        probe = cond if probe is None else (probe | cond)
+    return probe
 
 
 def ann_query_lsh(
@@ -238,26 +281,12 @@ def ann_query_lsh(
     distance bands-1; ``max_hamming`` defaults to that radius."""
     with open(os.path.join(out_dir, "ann_meta.json")) as f:
         meta = json.load(f)
-    planes = np.asarray(meta["planes"])
-    bands, band_bits = meta["bands"], meta["n_planes"] // meta["bands"]
     if max_hamming is None:
-        max_hamming = bands - 1
-    qsig = int(
-        sum(
-            1 << i
-            for i, p in enumerate(planes)
-            if float(np.dot(p, query_vec)) > 0
-        )
-    )
-    probe = None
-    for b in range(bands):
-        cond = (F.col("band") == b) & (
-            F.col("band_val") == ((qsig >> (b * band_bits)) & ((1 << band_bits) - 1))
-        )
-        probe = cond if probe is None else (probe | cond)
+        max_hamming = meta["bands"] - 1
+    qsig = lsh_query_signature(meta, query_vec)
     df = (
         spark.read.parquet(os.path.join(out_dir, "vectors"))
-        .filter(probe)
+        .filter(lsh_probe_filter(meta, qsig))
         .dropDuplicates([id_col])
         .filter(
             F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
