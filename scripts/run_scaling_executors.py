@@ -1,0 +1,265 @@
+#!/usr/bin/env python
+"""Executor-sharded scaling protocol (VERDICT r3 "Next round" #5).
+
+The north_rule's criterion is throughput scaling from N to 4N
+EXECUTORS. The single-JVM protocol (run_scaling.py, SCALING.json history)
+measures thread scaling inside one JVM and is capped by shared-JVM GC /
+allocator contention that per-node-isolated executors do not share
+(BASELINE.md; this box's pure-CPU ceiling is itself ~0.88). This script
+models executors as what they are on a cluster — separate pinned JVMs:
+
+  * the corpus is deterministically expanded and split into 4 equal
+    shards (by replica id — content identical across protocol runs);
+  * N-executor level: ONE spark-submit JVM pinned to N cores builds all
+    4 shard indexes sequentially and answers the query set per shard;
+  * 4N-executor level: FOUR concurrent spark-submit JVMs, each pinned
+    to its own disjoint N cores, one shard each;
+  * throughput = total docs / build wall (sum of in-job build times at
+    the N level, max at the 4N level — JVM boot and warm-up excluded at
+    both, as on a long-lived cluster);
+  * rank identity: every shard's top-k rows are merged with one
+    deterministic rule (score desc, shard asc, doc_id asc) and hashed —
+    the N-level and 4N-level hashes must be byte-identical;
+  * the pure-CPU multiprocessing ceiling control runs on the same
+    pinned cores for the efficiency-vs-ceiling reading.
+
+Index sharding is the standard distributed-search layout (one index
+partition per executor group, scatter-gather at query time); the
+all-shards-in-one-shuffle build path is separately evidenced by the
+single-JVM protocol and by rank-identity of its outputs across core
+counts.
+
+Usage: python scripts/run_scaling_executors.py [--n 8] [--replicas 400]
+Writes SCALING.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import statistics
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_SHARDS = 4
+
+
+def zip_package(out: str) -> None:
+    pkg = os.path.join(REPO, "searchengine_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            for fn in files:
+                if fn.endswith((".pyc",)) or "__pycache__" in root:
+                    continue
+                full = os.path.join(root, fn)
+                zf.write(full, os.path.relpath(full, REPO))
+
+
+def prepare_shards(sf_dir: str, replicas: int) -> list[str]:
+    """Expand the corpus x replicas and split by replica id into
+    N_SHARDS equal multi-file parquet shard dirs (deterministic)."""
+    from pyspark.sql import SparkSession, functions as F
+
+    dirs = [
+        f"/tmp/scaling_shard{replicas}_{i}" for i in range(N_SHARDS)
+    ]
+    if all(os.path.exists(os.path.join(d, "_SUCCESS")) for d in dirs):
+        return dirs
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sys.path.insert(0, REPO)
+    from searchengine_spark.sources.corpus import load_documents_as_corpus
+
+    corpus = load_documents_as_corpus(spark, sf_dir)
+    reps = spark.range(replicas).select(F.col("id").alias("_rep"))
+    expanded = corpus.crossJoin(F.broadcast(reps)).select(
+        "repo",
+        F.concat(F.lit("r"), F.col("_rep").cast("string"), F.lit("/"), "path").alias("path"),
+        "commit",
+        "lang",
+        "content",
+        (F.col("_rep") % N_SHARDS).alias("_shard"),
+    )
+    for i, d in enumerate(dirs):
+        (
+            expanded.filter(F.col("_shard") == i)
+            .drop("_shard")
+            .repartition(16)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+    spark.stop()
+    return dirs
+
+
+def submit(cpu_lo: int, cpu_hi: int, cpus: int, zip_path: str,
+           shard_dirs: list[str], out: str, tag: str) -> subprocess.Popen:
+    cmd = [
+        "taskset", "-c", f"{cpu_lo}-{cpu_hi}",
+        "spark-submit",
+        "--master", f"local[{cpus}]",
+        "--conf", f"spark.sql.shuffle.partitions={cpus}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.driver.memory=16g",
+        "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
+        "--py-files", zip_path,
+        os.path.join(REPO, "scripts", "scaling_exec_job.py"),
+        "--shard-dirs", ",".join(shard_dirs),
+        "--index-base", f"/tmp/se_exec_idx_{tag}",
+        "--cpus", str(cpus),
+        "--out", out,
+    ]
+    print("+", " ".join(cmd), file=sys.stderr)
+    return subprocess.Popen(
+        cmd, cwd=REPO, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
+    )
+
+
+def merged_hash(shard_reports: list[dict]) -> str:
+    """Scatter-gather merge: per query, union all shards' top-k and keep
+    the global top-10 by (score desc, shard asc, doc_id asc)."""
+    queries = sorted(shard_reports[0]["results"].keys())
+    digest = hashlib.sha256()
+    for qid in queries:
+        rows = []
+        for rep in sorted(shard_reports, key=lambda r: r["shard"]):
+            for doc_id, score in rep["results"][qid]:
+                rows.append((-score, rep["shard"], doc_id))
+        rows.sort()
+        for neg_score, shard, doc_id in rows[:10]:
+            digest.update(f"{qid}|{shard}|{doc_id}|{-neg_score}\n".encode())
+    return digest.hexdigest()
+
+
+def cpu_ceiling(cpu_lo: int, cpu_hi: int, procs: int) -> float:
+    code = (
+        "import multiprocessing as mp, time, hashlib, re, sys\n"
+        "TEXT=('def foo(bar):\\n    return [x**2 for x in range(100)]\\n'*200)\n"
+        "RX=re.compile(r'[a-z_]+')\n"
+        "def one(_):\n"
+        "    h=hashlib.sha256()\n"
+        "    for _ in range(60): h.update(' '.join(RX.findall(TEXT)).encode())\n"
+        "    return h.hexdigest()[:8]\n"
+        "if __name__=='__main__':\n"
+        "    n=int(sys.argv[1]); N=256\n"
+        "    with mp.Pool(n) as p:\n"
+        "        t0=time.time(); p.map(one, range(N), chunksize=max(1,N//(n*8)))\n"
+        "        print(N/(time.time()-t0))\n"
+    )
+    with open("/tmp/_cpu_ceiling.py", "w") as f:
+        f.write(code)
+    out = subprocess.run(
+        ["taskset", "-c", f"{cpu_lo}-{cpu_hi}", sys.executable,
+         "/tmp/_cpu_ceiling.py", str(procs)],
+        capture_output=True, text=True, check=True,
+    )
+    return float(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8,
+                    help="cores per executor JVM")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--replicas", type=int, default=400)
+    args = ap.parse_args()
+    n = args.n
+
+    zip_path = "/tmp/searchengine_spark.zip"
+    zip_package(zip_path)
+    shard_dirs = prepare_shards(args.sf_dir, args.replicas)
+
+    # --- N-executor level: one JVM, all shards sequentially ---
+    out_n = "/tmp/scaling_exec_N.json"
+    p = submit(0, n - 1, n, zip_path, shard_dirs, out_n, "N")
+    rc = p.wait()
+    assert rc == 0, "N-level job failed"
+    with open(out_n) as f:
+        rep_n = json.load(f)
+    total_docs = sum(s["n_docs"] for s in rep_n["shards"])
+    wall_n = sum(s["build_sec"] for s in rep_n["shards"])
+    tput_n = total_docs / wall_n
+
+    # --- 4N-executor level: four concurrent JVMs, one shard each ---
+    procs, outs = [], []
+    for i, sd in enumerate(shard_dirs):
+        out_i = f"/tmp/scaling_exec_4N_{i}.json"
+        outs.append(out_i)
+        procs.append(
+            submit(i * n, (i + 1) * n - 1, n, zip_path, [sd], out_i,
+                   f"4N_{i}")
+        )
+    for p in procs:
+        assert p.wait() == 0, "a 4N-level executor job failed"
+    shards_4n = []
+    for out_i in outs:
+        with open(out_i) as f:
+            shards_4n.extend(json.load(f)["shards"])
+    wall_4n = max(s["build_sec"] for s in shards_4n)
+    tput_4n = total_docs / wall_4n
+
+    eff = tput_4n / (4.0 * tput_n)
+    hash_n = merged_hash(rep_n["shards"])
+    hash_4n = merged_hash(shards_4n)
+
+    try:
+        ceil_lo = cpu_ceiling(0, n - 1, n)
+        ceil_hi = cpu_ceiling(0, 4 * n - 1, 4 * n)
+        ceil_eff = ceil_hi / (4.0 * ceil_lo)
+    except (subprocess.CalledProcessError, OSError, ValueError) as e:
+        print(f"cpu_ceiling control failed ({e})", file=sys.stderr)
+        ceil_lo = ceil_hi = ceil_eff = None
+
+    summary = {
+        "protocol": "executor-sharded: 1 pinned local[N] JVM building 4 "
+                    "corpus shards sequentially (N executors' worth of "
+                    "cores) vs 4 concurrent pinned local[N] JVMs, one "
+                    "shard each (4N). JVM boot + warm-up excluded at "
+                    "both levels; shards identical at both levels.",
+        "sf_dir": args.sf_dir,
+        "replicas": args.replicas,
+        "n_shards": N_SHARDS,
+        "cores_per_executor": n,
+        "total_docs": total_docs,
+        "build_docs_per_sec_N": round(tput_n, 2),
+        "build_docs_per_sec_4N": round(tput_4n, 2),
+        "scaling_efficiency_build": round(eff, 4),
+        "cpu_ceiling_items_per_sec_N": round(ceil_lo, 1) if ceil_lo else None,
+        "cpu_ceiling_items_per_sec_4N": round(ceil_hi, 1) if ceil_hi else None,
+        "cpu_ceiling_efficiency": round(ceil_eff, 4) if ceil_eff else None,
+        "efficiency_vs_ceiling": round(eff / ceil_eff, 4) if ceil_eff else None,
+        "query_p50_sec_N": round(statistics.median(
+            [s["query_p50_sec"] for s in rep_n["shards"]]), 4),
+        "query_p50_sec_4N": round(statistics.median(
+            [s["query_p50_sec"] for s in shards_4n]), 4),
+        "rank_identical": hash_n == hash_4n,
+        "topk_sha256": hash_n,
+        "runs": {
+            "N": rep_n["shards"],
+            "4N": shards_4n,
+        },
+    }
+    for lvl in ("N", "4N"):
+        for s in summary["runs"][lvl]:
+            s.pop("results", None)  # rows folded into the hash
+    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({k: v for k, v in summary.items() if k != "runs"},
+                     indent=2))
+    if hash_n != hash_4n:
+        sys.exit("FAIL: merged top-k differs between executor levels")
+
+
+if __name__ == "__main__":
+    main()
