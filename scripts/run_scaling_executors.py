@@ -29,6 +29,15 @@ all-shards-in-one-shuffle build path is separately evidenced by the
 single-JVM protocol and by rank-identity of its outputs across core
 counts.
 
+Storage: shards, indexes, and spark.local.dir live under /dev/shm.
+Measured on this sandbox's single virtio disk: ONE writer gets 119
+MB/s but FOUR concurrent writers share 49 MB/s TOTAL — a 2.4x
+aggregate collapse that throttles exactly the 4-executor level. Real
+cluster nodes each have their own disks (aggregate bandwidth scales
+with node count), so RAM-backed storage is the honest per-node-disk
+analogue on one box; the box's memory bandwidth does scale (the
+pure-CPU ceiling control reads ~1.0 at 8->32 procs).
+
 Usage: python scripts/run_scaling_executors.py [--n 8] [--replicas 400]
 Writes SCALING.json.
 """
@@ -65,7 +74,7 @@ def prepare_shards(sf_dir: str, replicas: int) -> list[str]:
     from pyspark.sql import SparkSession, functions as F
 
     dirs = [
-        f"/tmp/scaling_shard{replicas}_{i}" for i in range(N_SHARDS)
+        f"/dev/shm/se_scaling/shard{replicas}_{i}" for i in range(N_SHARDS)
     ]
     if all(os.path.exists(os.path.join(d, "_SUCCESS")) for d in dirs):
         return dirs
@@ -113,10 +122,11 @@ def submit(cpu_lo: int, cpu_hi: int, cpus: int, zip_path: str,
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.driver.memory=16g",
         "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
+        "--conf", f"spark.local.dir=/dev/shm/se_scaling/local_{tag}",
         "--py-files", zip_path,
         os.path.join(REPO, "scripts", "scaling_exec_job.py"),
         "--shard-dirs", ",".join(shard_dirs),
-        "--index-base", f"/tmp/se_exec_idx_{tag}",
+        "--index-base", f"/dev/shm/se_scaling/idx_{tag}",
         "--cpus", str(cpus),
         "--out", out,
     ]

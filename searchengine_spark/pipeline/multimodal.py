@@ -13,10 +13,16 @@ Decode support:
   (``pipeline/jpeg.py``: Huffman + dequant + IDCT + chroma upsample +
   restart markers, written from the public T.81 spec). Progressive /
   arithmetic JPEG raises ``NotImplementedError`` with a clear message.
-* remaining codecs (audio/video) are declared stubs: their libraries
-  are not in this environment, so ``extract_features(fake=False)``
-  raises NotImplementedError for non-PNG/JPEG payloads. ``fake=True``
-  keeps the deterministic digest-seeded decoder for plumbing tests.
+* **WAV (RIFF PCM) audio is decoded for real** — pure struct+numpy
+  chunk walk (``wav_decode``): 8/16/32-bit integer and 32-bit float
+  PCM, any channel count; compressed formats (MP3 inside WAV, ADPCM…)
+  raise ``NotImplementedError``. ``audio_features`` gives duration /
+  RMS / zero-crossing / per-channel stats.
+* remaining codecs (compressed audio, video) are declared stubs: their
+  libraries are not in this environment, so ``extract_features(
+  fake=False)`` raises NotImplementedError for those payloads.
+  ``fake=True`` keeps the deterministic digest-seeded decoder for
+  plumbing tests.
 """
 
 from __future__ import annotations
@@ -174,6 +180,109 @@ def png_decode(payload: bytes) -> np.ndarray:
     return _unfilter(zlib.decompress(idat), height, width, c)
 
 
+WAV_MAGIC = b"RIFF"
+
+
+def wav_encode(
+    samples: np.ndarray, sample_rate: int = 16_000, bits: int = 16
+) -> bytes:
+    """Minimal RIFF/WAVE PCM writer for test fixtures and resampled
+    sinks. ``samples``: (n,) or (n, channels) float in [-1, 1] or
+    integer; ``bits`` in {8, 16, 32}."""
+    a = np.asarray(samples)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    if np.issubdtype(a.dtype, np.floating):
+        peak = {8: 127, 16: 32767, 32: 2**31 - 1}[bits]
+        a = np.clip(np.round(a * peak), -peak - 1, peak)
+    if bits == 8:
+        data = (a.astype(np.int16) + 128).astype(np.uint8).tobytes()
+    elif bits == 16:
+        data = a.astype("<i2").tobytes()
+    else:
+        data = a.astype("<i4").tobytes()
+    block = ch * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * block, block, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM decode -> ((n_samples, channels) float64 in
+    [-1, 1], sample_rate). Pure struct+numpy chunk walk (public RIFF
+    spec): PCM 8/16/32-bit integer and IEEE-float-32 formats; anything
+    compressed raises NotImplementedError with the format tag named."""
+    if payload[:4] != WAV_MAGIC or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, ch, rate, _bps, _block, bits = fmt
+    if audio_fmt == 1:  # integer PCM
+        if bits == 8:
+            arr = (
+                np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128
+            ) / 128.0
+        elif bits == 16:
+            arr = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 32:
+            arr = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2**31
+        else:
+            raise NotImplementedError(f"{bits}-bit integer PCM unsupported")
+    elif audio_fmt == 3 and bits == 32:  # IEEE float
+        arr = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    else:
+        raise NotImplementedError(
+            f"WAV format tag {audio_fmt} ({bits}-bit) unsupported: only "
+            "uncompressed PCM decodes (compressed audio libraries "
+            "unavailable in this environment)"
+        )
+    n = arr.size // ch
+    return arr[: n * ch].reshape(n, ch), rate
+
+
+def audio_features(samples: np.ndarray, rate: int, dim: int = 8) -> np.ndarray:
+    """Fixed-dim feature vector from decoded audio: [duration_sec, rate,
+    channels, rms, peak, zero_crossing_rate, mean_ch0, mean_ch1],
+    truncated/zero-padded to ``dim``."""
+    n, ch = samples.shape
+    mono = samples.mean(axis=1)
+    zc = (
+        float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+        if n > 1
+        else 0.0
+    )
+    feats = [
+        n / float(rate),
+        float(rate),
+        float(ch),
+        float(np.sqrt(np.mean(mono**2))) if n else 0.0,
+        float(np.abs(samples).max()) if n else 0.0,
+        zc,
+    ]
+    feats += [float(samples[:, i].mean()) for i in range(min(ch, 2))]
+    feats += [0.0] * max(0, dim - len(feats))
+    return np.asarray(feats[:dim], dtype=np.float32)
+
+
 def image_features(img: np.ndarray, dim: int = 8) -> np.ndarray:
     """Fixed-dim feature vector from a decoded (H, W, C) image:
     [width, height, channels, mean, std, mean_ch0, mean_ch1, mean_ch2]
@@ -239,11 +348,16 @@ def extract_features(
     """mapInPandas feature extraction over binary payloads. Arrow batches
     in, one feature row per media row out. Partition-parallel; no shuffle.
 
-    ``fake=False`` decodes PNG and baseline JPEG payloads FOR REAL
-    (image_decode) and emits image_features; other payloads raise
-    NotImplementedError (their codec libraries are not in this
-    environment). ``fake=True`` keeps the deterministic digest-seeded
-    decoder for plumbing tests."""
+    ``fake=False`` decodes PNG, baseline JPEG, and WAV-PCM payloads FOR
+    REAL (by magic bytes) and emits image_features / audio_features;
+    other payloads raise NotImplementedError (their codec libraries are
+    not in this environment). ``fake=True`` keeps the deterministic
+    digest-seeded decoder for plumbing tests."""
+
+    def real_one(raw: bytes) -> list:
+        if raw.startswith(WAV_MAGIC):
+            return audio_features(*wav_decode(raw), dim=dim).tolist()
+        return image_features(image_decode(raw), dim).tolist()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -252,10 +366,7 @@ def extract_features(
                     _fake_decode(bytes(p), dim).tolist() for p in pdf["payload"]
                 ]
             else:
-                feats = [
-                    image_features(image_decode(bytes(p)), dim).tolist()
-                    for p in pdf["payload"]
-                ]
+                feats = [real_one(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

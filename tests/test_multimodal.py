@@ -131,14 +131,52 @@ def test_extract_features_real_decode(spark):
 
 
 def test_extract_features_unrecognized_payload_raises(spark):
-    # JPEG decodes for real since round 4; a non-image payload is the
+    # PNG/JPEG/WAV decode for real since round 4; anything else is the
     # remaining declared stub
     df = spark.createDataFrame(
-        [(1, "audio", bytearray(b"RIFF....WAVEdata"))],
+        [(1, "video", bytearray(b"\x00\x01\x02mp4-ish bytes"))],
         "doc_id long, media_type string, payload binary",
     )
     with pytest.raises(Exception, match="unrecognized image payload"):
         MM.extract_features(df, fake=False).collect()
+
+
+def test_wav_roundtrip_and_features():
+    t = np.arange(16_000) / 16_000.0
+    tone = np.stack(
+        [np.sin(2 * np.pi * 440 * t), 0.5 * np.sin(2 * np.pi * 220 * t)],
+        axis=1,
+    )
+    for bits in (8, 16, 32):
+        buf = MM.wav_encode(tone, sample_rate=16_000, bits=bits)
+        out, rate = MM.wav_decode(buf)
+        assert rate == 16_000 and out.shape == tone.shape
+        tol = {8: 2e-2, 16: 1e-4, 32: 1e-8}[bits]
+        assert np.abs(out - tone).max() < tol
+    f = MM.audio_features(*MM.wav_decode(MM.wav_encode(tone)), dim=8)
+    assert f[0] == pytest.approx(1.0)          # duration sec
+    assert f[1] == 16_000.0 and f[2] == 2.0    # rate, channels
+    assert 0.35 < f[3] < 0.45                  # rms of the mono mixdown
+
+
+def test_wav_compressed_format_rejected():
+    # format tag 2 = MS ADPCM: must raise, not mis-decode
+    buf = bytearray(MM.wav_encode(np.zeros(64), bits=16))
+    i = buf.find(b"fmt ")
+    buf[i + 8] = 2  # audio_fmt LE low byte
+    with pytest.raises(NotImplementedError, match="format tag 2"):
+        MM.wav_decode(bytes(buf))
+
+
+def test_extract_features_real_wav(spark):
+    t = np.arange(8000) / 8000.0
+    buf = MM.wav_encode(np.sin(2 * np.pi * 100 * t), sample_rate=8000)
+    df = spark.createDataFrame(
+        [(7, "audio", bytearray(buf))],
+        "doc_id long, media_type string, payload binary",
+    )
+    f = MM.extract_features(df, dim=8, fake=False).collect()[0]["feature"]
+    assert f[0] == pytest.approx(1.0) and f[1] == 8000.0 and f[2] == 1.0
 
 
 def test_image_thumbnails(spark):
