@@ -190,46 +190,70 @@ def main() -> None:
     zip_package(zip_path)
     shard_dirs = prepare_shards(args.sf_dir, args.replicas)
 
+    def safe_ceiling(lo, hi, procs):
+        try:
+            return cpu_ceiling(lo, hi, procs)
+        except (subprocess.CalledProcessError, OSError, ValueError) as e:
+            print(f"cpu_ceiling control failed ({e})", file=sys.stderr)
+            return None
+
+    # each ceiling control runs IMMEDIATELY BEFORE its engine level on
+    # the same cores: host-level interference on this VM swings by >30%
+    # across tens of minutes, so a ceiling measured at the end of the
+    # protocol can describe a different box than the one the builds ran
+    # on (observed: 1.05 vs 0.795 vs 0.63 across three protocol runs)
+    ceil_lo = safe_ceiling(0, n - 1, n)
+
     # --- N-executor level: one JVM, all shards sequentially ---
-    out_n = "/tmp/scaling_exec_N.json"
-    p = submit(0, n - 1, n, zip_path, shard_dirs, out_n, "N")
-    rc = p.wait()
-    assert rc == 0, "N-level job failed"
-    with open(out_n) as f:
-        rep_n = json.load(f)
+    best_n = None
+    for t in range(args.trials):
+        out_n = f"/tmp/scaling_exec_N_t{t}.json"
+        p = submit(0, n - 1, n, zip_path, shard_dirs, out_n, "N")
+        rc = p.wait()
+        assert rc == 0, "N-level job failed"
+        with open(out_n) as f:
+            rep = json.load(f)
+        wall = sum(s["build_sec"] for s in rep["shards"])
+        print(f"N trial {t}: {round(wall, 1)} s", file=sys.stderr)
+        if best_n is None or wall < best_n[0]:
+            best_n = (wall, rep)
+    wall_n, rep_n = best_n
     total_docs = sum(s["n_docs"] for s in rep_n["shards"])
-    wall_n = sum(s["build_sec"] for s in rep_n["shards"])
     tput_n = total_docs / wall_n
 
+    ceil_hi = safe_ceiling(0, 4 * n - 1, 4 * n)
+
     # --- 4N-executor level: four concurrent JVMs, one shard each ---
-    procs, outs = [], []
-    for i, sd in enumerate(shard_dirs):
-        out_i = f"/tmp/scaling_exec_4N_{i}.json"
-        outs.append(out_i)
-        procs.append(
-            submit(i * n, (i + 1) * n - 1, n, zip_path, [sd], out_i,
-                   f"4N_{i}")
-        )
-    for p in procs:
-        assert p.wait() == 0, "a 4N-level executor job failed"
-    shards_4n = []
-    for out_i in outs:
-        with open(out_i) as f:
-            shards_4n.extend(json.load(f)["shards"])
-    wall_4n = max(s["build_sec"] for s in shards_4n)
+    best_4n = None
+    for t in range(args.trials):
+        procs, outs = [], []
+        for i, sd in enumerate(shard_dirs):
+            out_i = f"/tmp/scaling_exec_4N_{i}_t{t}.json"
+            outs.append(out_i)
+            procs.append(
+                submit(i * n, (i + 1) * n - 1, n, zip_path, [sd], out_i,
+                       f"4N_{i}")
+            )
+        for p in procs:
+            assert p.wait() == 0, "a 4N-level executor job failed"
+        shards = []
+        for out_i in outs:
+            with open(out_i) as f:
+                shards.extend(json.load(f)["shards"])
+        wall = max(s["build_sec"] for s in shards)
+        print(f"4N trial {t}: {round(wall, 1)} s", file=sys.stderr)
+        if best_4n is None or wall < best_4n[0]:
+            best_4n = (wall, shards)
+    wall_4n, shards_4n = best_4n
     tput_4n = total_docs / wall_4n
 
     eff = tput_4n / (4.0 * tput_n)
     hash_n = merged_hash(rep_n["shards"])
     hash_4n = merged_hash(shards_4n)
 
-    try:
-        ceil_lo = cpu_ceiling(0, n - 1, n)
-        ceil_hi = cpu_ceiling(0, 4 * n - 1, 4 * n)
-        ceil_eff = ceil_hi / (4.0 * ceil_lo)
-    except (subprocess.CalledProcessError, OSError, ValueError) as e:
-        print(f"cpu_ceiling control failed ({e})", file=sys.stderr)
-        ceil_lo = ceil_hi = ceil_eff = None
+    ceil_eff = (
+        ceil_hi / (4.0 * ceil_lo) if ceil_lo and ceil_hi else None
+    )
 
     summary = {
         "protocol": "executor-sharded: 1 pinned local[N] JVM building 4 "
