@@ -183,6 +183,13 @@ def main() -> None:
                     help="cores per executor JVM")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--replicas", type=int, default=400)
+    ap.add_argument("--trials", type=int, default=2,
+                    help="runs per level; PEAK throughput is the"
+                    " estimator — identical runs on this VM swing 2x+"
+                    " from host-level interference invisible to the"
+                    " guest (steal%%=0 while it happens; see"
+                    " BASELINE.md), so the capability number is the"
+                    " best trial, as in run_scaling.py")
     args = ap.parse_args()
     n = args.n
 
