@@ -161,8 +161,12 @@ class _BitReader:
         self._n = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG truncated in scan data")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("JPEG truncated in scan data")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2  # stuffed 0xFF data byte
@@ -270,11 +274,15 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int, int]:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync while probing SOF")
         marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI is standalone — no length word follows
+            break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 10 > len(payload):
+                raise ValueError("JPEG truncated in SOF header")
             precision, h, w, nc = struct.unpack(
                 ">BHHB", payload[pos + 4 : pos + 10]
             )
@@ -306,7 +314,11 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             raise ValueError("JPEG has no scan data")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
+        if pos + 2 > len(payload):
+            raise ValueError("JPEG truncated in segment header")
         (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        if seglen < 2 or pos + seglen > len(payload):
+            raise ValueError("JPEG truncated inside a marker segment")
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xC4:  # DHT — may hold several tables
             p = 0
@@ -409,6 +421,8 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 # discard the pad bits of the current byte, then the
                 # next two stream bytes MUST be the in-sequence RSTn
                 br.align_to_marker()
+                if br.pos + 2 > len(br.data):
+                    raise ValueError("JPEG truncated in scan data")
                 if not (
                     br.data[br.pos] == 0xFF
                     and 0xD0 <= br.data[br.pos + 1] <= 0xD7

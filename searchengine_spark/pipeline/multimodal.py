@@ -219,8 +219,18 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
     [-1, 1], sample_rate). Pure struct+numpy chunk walk (public RIFF
     spec): PCM 8/16/32-bit integer and IEEE-float-32 formats; anything
     compressed raises NotImplementedError with the format tag named."""
-    if payload[:4] != WAV_MAGIC or payload[8:12] != b"WAVE":
+    if payload[:4] != WAV_MAGIC:
         raise ValueError("not a RIFF/WAVE payload")
+    if payload[8:12] != b"WAVE":
+        # RIFF is a container family: WEBP images, AVI video, … — name
+        # the form type so callers know which codec is missing rather
+        # than seeing a generic "not WAVE" error
+        form = payload[8:12].decode("ascii", "replace").strip()
+        raise NotImplementedError(
+            f"RIFF container with form type {form!r} unsupported: only "
+            "RIFF/WAVE PCM decodes (WEBP/AVI codec libraries unavailable "
+            "in this environment — use fake=True for those)"
+        )
     pos = 12
     fmt = None
     data = None
@@ -355,7 +365,10 @@ def extract_features(
     digest-seeded decoder for plumbing tests."""
 
     def real_one(raw: bytes) -> list:
-        if raw.startswith(WAV_MAGIC):
+        # audio only for RIFF + WAVE form type; other RIFF containers
+        # (WEBP, AVI) are routed through wav_decode's named
+        # NotImplementedError rather than the generic image error
+        if raw[:4] == WAV_MAGIC:
             return audio_features(*wav_decode(raw), dim=dim).tolist()
         return image_features(image_decode(raw), dim).tolist()
 

@@ -264,6 +264,21 @@ def lsh_probe_filter(meta: dict, qsig: int):
     return probe
 
 
+def resolve_lsh_store_dir(out_dir: str) -> str:
+    """Store directory of a (possibly streamed) LSH ANN index. A
+    :class:`streaming.ann.StreamingAnnIndexer` compaction publishes
+    versioned ``vectors_v<N>`` directories and flips the version pointer
+    atomically in ``ann_stream_state.json``; a batch ``ann_build_lsh``
+    store is the plain ``vectors`` directory (version 0)."""
+    state_path = os.path.join(out_dir, "ann_stream_state.json")
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            v = json.load(f).get("store_version", 0)
+        if v:
+            return os.path.join(out_dir, f"vectors_v{int(v)}")
+    return os.path.join(out_dir, "vectors")
+
+
 def ann_query_lsh(
     spark: SparkSession,
     out_dir: str,
@@ -285,7 +300,7 @@ def ann_query_lsh(
         max_hamming = meta["bands"] - 1
     qsig = lsh_query_signature(meta, query_vec)
     df = (
-        spark.read.parquet(os.path.join(out_dir, "vectors"))
+        spark.read.parquet(resolve_lsh_store_dir(out_dir))
         .filter(lsh_probe_filter(meta, qsig))
         .dropDuplicates([id_col])
         .filter(
