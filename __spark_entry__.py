@@ -186,6 +186,10 @@ def _ann_dir(spark: SparkSession, sf_dir: str, method: str) -> str:
 
 
 def _topk_df(engine: SearchEngine, query: str, **kw) -> DataFrame:
+    # pin the DISTRIBUTED plans (J1/J2/J3) unless a caller explicitly
+    # opts into the driver-local fast path — bm25_topk_local_exec pins
+    # that one; results are bit-identical either way (test_local_exec)
+    kw.setdefault("local", False)
     r = engine.search(query, **kw)
     return r.select(
         F.col("rank").cast("long").alias("rank"),
@@ -269,6 +273,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def bm25_topk_rare_term(spark, sf):
         return _topk_df(_engine(spark, sf), Q_RARE, k=10, algo="maxscore")
+
+    def bm25_topk_local_exec(spark, sf):
+        # the driver-local fast path (numpy scoring, NO Spark job) under
+        # the same DuckDB oracle as the distributed disjunctive plan —
+        # scores are bit-identical by construction (engine.py _local_topk)
+        return _topk_df(_engine(spark, sf), Q_DISJ, k=10, local=True)
+
+    def bm25_topk_local_maxscore(spark, sf):
+        # local path with the metadata theta + block-max pruning engaged
+        return _topk_df(
+            _engine(spark, sf), Q_MAXSCORE, k=10, algo="maxscore", local=True
+        )
 
     def dedup_exact(spark, sf):
         return DD.exact_duplicate_groups(_corpus(spark, sf)).select(
@@ -637,6 +653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": ann_ivf_recall,
         "bm25_topk_compressed": bm25_topk_compressed,
         "bm25_topk_compressed_delta": bm25_topk_compressed_delta,
+        "bm25_topk_local_exec": bm25_topk_local_exec,
+        "bm25_topk_local_maxscore": bm25_topk_local_maxscore,
         "phrase_topk": phrase_topk,
         "batch_topk": batch_topk,
         "batch_efficiency_shape": batch_efficiency_shape,
@@ -866,6 +884,8 @@ SELECT doc_id, tf FROM tft WHERE term = '{PROBE_TERM}'
     sql["bm25_topk_conjunctive"] = _topk_sql(Q_CONJ, conjunctive=True)
     sql["bm25_topk_maxscore"] = _topk_sql(Q_MAXSCORE)
     sql["bm25_topk_rare_term"] = _topk_sql(Q_RARE)
+    sql["bm25_topk_local_exec"] = _topk_sql(Q_DISJ)
+    sql["bm25_topk_local_maxscore"] = _topk_sql(Q_MAXSCORE)
     sql["bm25_topk_k100"] = _topk_sql(Q_DISJ, k=100)
     sql["tfidf_topk_conjunctive"] = _topk_sql(Q_CONJ, scorer="tfidf", conjunctive=True)
 

@@ -92,7 +92,7 @@ def main() -> None:
         "mapInPandas emits (term, doc_id, tf, doc_len) directly and BM25 "
         "is computed without ANY join; the scan is partition-pruned and "
         "term-pushed like the raw path.",
-        comp.search(q, k=10),
+        comp.search(q, k=10, local=False),
     )
     assert "doctable" not in p1, "compressed path joined the doctable!"
 
@@ -145,7 +145,7 @@ def main() -> None:
         "doc_id plus a coarse doc_id range pushed INTO the parquet scan "
         "of the frequent terms' blocks. No extra Spark job, no exchange "
         "beyond the one doc_id hash partitioning.",
-        raw.search("dup spark batch", k=10, algo="maxscore"),
+        raw.search("dup spark batch", k=10, algo="maxscore", local=False),
     )
     if "dynamicpruning" not in p3 and " IN (" not in p3.split("Filter", 1)[-1]:
         print("\n(note: candidate path did not engage on this corpus — "

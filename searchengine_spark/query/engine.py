@@ -81,6 +81,11 @@ class SearchEngine:
         self._phrase_caches: list[DataFrame] = []
         self._lexicon_df: Optional[DataFrame] = None
         self._positions_df: Optional[DataFrame] = None
+        self._pa_postings = None
+        self._pa_lexicon = None
+        # None = auto (engage when the query's postings fit the driver
+        # gate); True/False force. search(local=...) overrides per call.
+        self.local_exec: Optional[bool] = None
         self.postings = spark.read.parquet(os.path.join(self.index_dir, "postings"))
         self.doctable = spark.read.parquet(os.path.join(self.index_dir, "doctable"))
         # schema facts resolved ONCE (a .columns probe mid-query forces a
@@ -102,6 +107,8 @@ class SearchEngine:
         self._retire_phrase_cache(None)
         self._lexicon_df = None
         self._positions_df = None
+        self._pa_postings = None
+        self._pa_lexicon = None
         with open(os.path.join(self.index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         self.config = EngineConfig.load(self.index_dir)
@@ -149,6 +156,31 @@ class SearchEngine:
 
     # ---------- plumbing ----------
 
+    def _postings_dataset(self):
+        """Memoized pyarrow dataset handle for the postings table — the
+        file listing / hive-partition discovery is a per-query driver
+        cost worth paying once per engine instance (refresh() resets)."""
+        if self._pa_postings is None:
+            import pyarrow.dataset as ds
+
+            self._pa_postings = ds.dataset(
+                os.path.join(self.index_dir, "postings"),
+                format="parquet",
+                partitioning="hive",
+            )
+        return self._pa_postings
+
+    def _lexicon_dataset(self):
+        if self._pa_lexicon is None:
+            import pyarrow.dataset as ds
+
+            self._pa_lexicon = ds.dataset(
+                os.path.join(self.index_dir, "lexicon"),
+                format="parquet",
+                partitioning="hive",
+            )
+        return self._pa_lexicon
+
     def tokenize_query(self, text: str) -> list[str]:
         return tokenize_query_py(text, self.config)
 
@@ -177,11 +209,7 @@ class SearchEngine:
         if missing:
             import pyarrow.dataset as ds
 
-            dataset = ds.dataset(
-                os.path.join(self.index_dir, "lexicon"),
-                format="parquet",
-                partitioning="hive",
-            )
+            dataset = self._lexicon_dataset()
             buckets = sorted(
                 {term_bucket_py(t, self.config.n_term_buckets) for t in missing}
             )
@@ -207,11 +235,7 @@ class SearchEngine:
         if missing:
             import pyarrow.dataset as ds
 
-            dataset = ds.dataset(
-                os.path.join(self.index_dir, "postings"),
-                format="parquet",
-                partitioning="hive",
-            )
+            dataset = self._postings_dataset()
             buckets = sorted(
                 {term_bucket_py(t, self.config.n_term_buckets) for t in missing}
             )
@@ -364,11 +388,7 @@ class SearchEngine:
 
         bm_col = "block_max_bm25" if scorer == "bm25" else "block_max_tfidf"
         ub_key = "max_bm25" if scorer == "bm25" else "max_tfidf"
-        dataset = ds.dataset(
-            os.path.join(self.index_dir, "postings"),
-            format="parquet",
-            partitioning="hive",
-        )
+        dataset = self._postings_dataset()
         expr = None
         for t in essential:
             thresh = theta - (total_ub - stats[t][ub_key])
@@ -591,16 +611,30 @@ class SearchEngine:
         scorer: str = "bm25",
         algo: str = "daat",
         with_docno: bool = False,
+        local: Optional[bool] = None,
     ) -> DataFrame:
         """Top-k for a raw query string. Returns (rank, doc_id, score
         [, docno]). k in {10, 20, 100} in the reference UI (Main.java:58);
-        any positive k accepted here."""
+        any positive k accepted here.
+
+        ``local`` selects the execution path: None (default) auto-gates —
+        when the query terms' postings fit the driver RAM gate
+        (LOCAL_EXEC_MAX_POSTINGS), score entirely driver-side in numpy
+        with NO Spark job (the analogue of the reference's RAM-resident
+        interactive query path, Query.java:62-72); beyond the gate, or
+        with local=False, the distributed plan runs. Results are
+        bit-identical either way (same formulas, same summation order,
+        same tie-break)."""
         terms = self.tokenize_query(query)
         stats = self._term_stats(terms)
         terms = [t for t in terms if t in stats]  # drop unknown terms (J5)
         if not terms:
             result = self.spark.createDataFrame(
                 [], "rank int, doc_id long, score double"
+            )
+        elif self._local_ok(terms, stats, local):
+            result = self._local_df(
+                self._local_topk(terms, stats, scorer, mode, algo, k)
             )
         elif mode == "conjunctive":
             result = self._conjunctive(terms, stats, scorer, k)
@@ -614,6 +648,225 @@ class SearchEngine:
                 F.broadcast(result), "doc_id"
             ).select("rank", "doc_id", "docno", "score")
         return result
+
+    # ---------- driver-local fast path (interactive latency) ----------
+
+    # auto-engage the driver-local path when the query terms' total df
+    # is at most this many postings: ~16 B/posting decoded (int64 id +
+    # doubles) keeps the transient driver footprint tens of MB. The
+    # reference answers every interactive query from RAM (Query.java:
+    # 62-72; Documentation.pdf Table 3's 16-72 ms are RAM-probe
+    # numbers); this is the same trade with an explicit gate — at
+    # web scale a stopword-laden query overflows the gate and falls
+    # back to the distributed plan, which is the only one that can
+    # answer it anyway.
+    LOCAL_EXEC_MAX_POSTINGS = 2_000_000
+
+    def _local_ok(self, terms, stats, override: Optional[bool]) -> bool:
+        if override is False:
+            return False
+        if override is None and self.local_exec is False:
+            return False
+        if self.config.compression and not self._decoded_has_doc_len:
+            # pre-r3 compressed layout: doc_len would need a doctable
+            # join the local path doesn't do
+            return False
+        if override or self.local_exec:
+            return True
+        return (
+            sum(stats[t]["df"] for t in terms)
+            <= self.LOCAL_EXEC_MAX_POSTINGS
+        )
+
+    def _local_postings(
+        self,
+        terms: Sequence[str],
+        block_thresh: Optional[dict[str, float]] = None,
+        scorer: str = "bm25",
+    ) -> dict[str, tuple]:
+        """Bucket-pruned driver-side pyarrow read of the query terms'
+        posting blocks -> {term: (doc_ids int64, tfs f64, doc_lens f64)}.
+        Parquet columnar projection reads ONLY the posting payload
+        columns of the matching bucket partitions; ``block_thresh``
+        applies MaxScore block pruning inside the scan filter (same rule
+        as _exploded_postings — exact only under the caller's theta
+        score filter)."""
+        import numpy as np
+        import pyarrow.dataset as ds
+
+        from ..functions.codecs import (
+            unary_decode,
+            vbyte_decode,
+            vbyte_decode_delta,
+        )
+
+        dataset = self._postings_dataset()
+        buckets = sorted(
+            {term_bucket_py(t, self.config.n_term_buckets) for t in terms}
+        )
+        expr = ds.field("term_bucket").isin(buckets) & ds.field("term").isin(
+            list(terms)
+        )
+        if block_thresh:
+            bm_col = (
+                "block_max_bm25" if scorer == "bm25" else "block_max_tfidf"
+            )
+            pruned = None
+            for t in terms:
+                e = (ds.field("term") == t) & (
+                    ds.field(bm_col) >= block_thresh[t]
+                )
+                pruned = e if pruned is None else (pruned | e)
+            expr = expr & pruned
+        if self.config.compression:
+            cols = ["term", "n_postings", "doc_ids_vb", "tfs_unary", "doc_lens"]
+        else:
+            cols = ["term", "doc_ids", "tfs", "doc_lens"]
+        tbl = dataset.to_table(filter=expr, columns=cols).combine_chunks()
+        term_col = tbl["term"].to_pylist()
+
+        def flat(name, dtype):
+            # ListArray -> (values ndarray, offsets ndarray): per-row
+            # slices without to_pylist boxing
+            arr = tbl[name].chunk(0) if tbl[name].num_chunks else None
+            if arr is None:
+                return np.empty(0, dtype), np.zeros(1, np.int64)
+            return (
+                arr.values.to_numpy(zero_copy_only=False).astype(
+                    dtype, copy=False
+                ),
+                arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+
+        out: dict[str, list] = {t: [[], [], []] for t in terms}
+        if self.config.compression:
+            dl_vals, dl_off = flat("doc_lens", np.float64)
+            dec = (
+                vbyte_decode_delta
+                if self.config.delta_docids
+                else vbyte_decode
+            )
+            vb = tbl["doc_ids_vb"]
+            un = tbl["tfs_unary"]
+            np_col = tbl["n_postings"].to_numpy(zero_copy_only=False)
+            for r, t in enumerate(term_col):
+                out[t][0].append(dec(vb[r].as_py()))
+                out[t][1].append(
+                    unary_decode(un[r].as_py(), int(np_col[r])).astype(
+                        np.float64
+                    )
+                )
+                out[t][2].append(dl_vals[dl_off[r] : dl_off[r + 1]])
+        else:
+            id_vals, id_off = flat("doc_ids", np.int64)
+            tf_vals, tf_off = flat("tfs", np.float64)
+            dl_vals, dl_off = flat("doc_lens", np.float64)
+            for r, t in enumerate(term_col):
+                out[t][0].append(id_vals[id_off[r] : id_off[r + 1]])
+                out[t][1].append(tf_vals[tf_off[r] : tf_off[r + 1]])
+                out[t][2].append(dl_vals[dl_off[r] : dl_off[r + 1]])
+
+        def cat(parts, dtype):
+            return (
+                np.concatenate(parts).astype(dtype, copy=False)
+                if parts
+                else np.empty(0, dtype)
+            )
+
+        return {
+            t: (
+                cat(v[0], np.int64),
+                cat(v[1], np.float64),
+                cat(v[2], np.float64),
+            )
+            for t, v in out.items()
+        }
+
+    def _local_df(self, pdf: pd.DataFrame) -> DataFrame:
+        """Wrap a driver-computed top-k as a LocalRelation via a SQL
+        VALUES clause: collect() is then driver-only — NO Spark job at
+        all (createDataFrame(pandas) builds an ExistingRDD whose collect
+        costs a full Python-worker round-trip, measured ~0.26 s even for
+        k rows). Doubles ride as CAST('<repr>' AS DOUBLE): repr
+        round-trips IEEE754 exactly and parseDouble is correctly
+        rounded, so the scores are bit-identical to the numpy values."""
+        if len(pdf) == 0:
+            return self.spark.createDataFrame(
+                [], "rank int, doc_id long, score double"
+            )
+        rows = ",".join(
+            f"({int(rank)}, {int(doc_id)}L, CAST('{float(score)!r}' AS DOUBLE))"
+            for rank, doc_id, score in pdf.itertuples(index=False)
+        )
+        return self.spark.sql(
+            f"SELECT * FROM VALUES {rows} AS t(rank, doc_id, score)"
+        )
+
+    def _local_topk(
+        self, terms, stats, scorer: str, mode: str, algo: str, k: int
+    ) -> pd.DataFrame:
+        """Driver-side numpy scoring — bit-identical to the distributed
+        plan: per-(term, doc) partials use the same double-precision
+        operation order as bm25_partial_expr/tfidf_partial_expr
+        (bm25_partial_py is the documented mirror), and per-doc sums
+        fold addends in sorted-term order exactly like _sum_scores'
+        coalesce chain (0.0 + s == s for the non-negative addends).
+        ``algo='maxscore'`` applies the same metadata theta + block-max
+        pruning as _maxscore — the identical exactness argument holds,
+        just without a Spark job."""
+        import numpy as np
+
+        from ..functions.scoring import bm25_partial_py, tfidf_partial_py
+
+        theta = 0.0
+        block_thresh = None
+        if algo == "maxscore" and mode != "conjunctive":
+            theta = self._theta_from_blocks(terms, scorer, k)
+            if theta > 0.0:
+                ub_key = "max_bm25" if scorer == "bm25" else "max_tfidf"
+                cum = sum(stats[t][ub_key] for t in terms)
+                block_thresh = {
+                    t: theta - (cum - stats[t][ub_key]) for t in terms
+                }
+        per_term = self._local_postings(
+            terms, block_thresh=block_thresh, scorer=scorer
+        )
+        ordered = sorted(set(terms))
+        nonempty = [t for t in ordered if per_term[t][0].size]
+        if not nonempty:
+            return pd.DataFrame(
+                {"rank": [], "doc_id": [], "score": []}
+            ).astype({"rank": "int32", "doc_id": "int64", "score": "float64"})
+        uniq = np.unique(np.concatenate([per_term[t][0] for t in nonempty]))
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        counts = np.zeros(uniq.size, dtype=np.int64)
+        for t in ordered:
+            ids, tf, dl = per_term[t]
+            if ids.size == 0:
+                continue
+            pos = np.searchsorted(uniq, ids)
+            if scorer == "bm25":
+                partial = bm25_partial_py(
+                    tf, dl, self.stats["avgdl"], self.config.k1, self.config.b
+                )
+            else:
+                partial = tfidf_partial_py(tf)
+            scores[pos] += partial * stats[t]["idf"]
+            counts[pos] += 1
+        keep = np.ones(uniq.size, dtype=bool)
+        if mode == "conjunctive":
+            keep &= counts == len(ordered)
+        if theta > 0.0:
+            keep &= scores >= theta
+        uniq, scores = uniq[keep], scores[keep]
+        order = np.lexsort((uniq, -scores))[:k]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, order.size + 1, dtype=np.int32),
+                "doc_id": uniq[order],
+                "score": scores[order],
+            }
+        )
 
     # ---------- algorithms ----------
 
