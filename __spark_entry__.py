@@ -86,6 +86,7 @@ IVF_LISTS = 8
 _ENGINE_CACHE: dict[tuple[str, bool], SearchEngine] = {}
 _CORPUS_CACHE: dict[str, DataFrame] = {}
 _ANN_CACHE: dict[tuple[str, str], str] = {}
+_SHARDED_CACHE: dict[str, "object"] = {}
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,6 +150,33 @@ def _engine(
         )
         _ENGINE_CACHE[key] = SearchEngine(spark, idx)
     return _ENGINE_CACHE[key]
+
+
+def _sharded_engine(spark: SparkSession, sf_dir: str):
+    """Build-once cache of a 3-shard index over the same corpus/config as
+    the single-index entries — the scatter-gather results must hash-match
+    the SAME DuckDB top-k SQL the single index is pinned against."""
+    from searchengine_spark.index.sharded import (
+        ShardedSearchEngine,
+        build_sharded_index,
+    )
+
+    key = os.path.abspath(sf_dir)
+    if key not in _SHARDED_CACHE:
+        out = (
+            "/tmp/se_entry_sharded/"
+            + hashlib.md5(key.encode()).hexdigest()[:12]
+        )
+        if not os.path.exists(os.path.join(out, "sharded_manifest.json")):
+            build_sharded_index(
+                spark,
+                load_documents_as_corpus(spark, sf_dir),
+                out,
+                n_shards=3,
+                config=ENTRY_CONFIG,
+            )
+        _SHARDED_CACHE[key] = ShardedSearchEngine(spark, out)
+    return _SHARDED_CACHE[key]
 
 
 def _base_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,6 +312,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # local path with the metadata theta + block-max pruning engaged
         return _topk_df(
             _engine(spark, sf), Q_MAXSCORE, k=10, algo="maxscore", local=True
+        )
+
+    def bm25_topk_sharded(spark, sf):
+        # 3-shard scatter-gather with the distributed union merge
+        # (index/sharded.py): must hash-match the single-index SQL oracle
+        return _topk_df(_sharded_engine(spark, sf), Q_DISJ, k=10)
+
+    def bm25_topk_sharded_conjunctive(spark, sf):
+        # conjunctive across shards (term-missing shards short-circuit)
+        # through the driver-local per-shard fast path + pandas merge
+        return _topk_df(
+            _sharded_engine(spark, sf), Q_CONJ, k=10, mode="conjunctive",
+            local=True,
         )
 
     def dedup_exact(spark, sf):
@@ -655,6 +696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_compressed_delta": bm25_topk_compressed_delta,
         "bm25_topk_local_exec": bm25_topk_local_exec,
         "bm25_topk_local_maxscore": bm25_topk_local_maxscore,
+        "bm25_topk_sharded": bm25_topk_sharded,
+        "bm25_topk_sharded_conjunctive": bm25_topk_sharded_conjunctive,
         "phrase_topk": phrase_topk,
         "batch_topk": batch_topk,
         "batch_efficiency_shape": batch_efficiency_shape,
@@ -886,6 +929,8 @@ SELECT doc_id, tf FROM tft WHERE term = '{PROBE_TERM}'
     sql["bm25_topk_rare_term"] = _topk_sql(Q_RARE)
     sql["bm25_topk_local_exec"] = _topk_sql(Q_DISJ)
     sql["bm25_topk_local_maxscore"] = _topk_sql(Q_MAXSCORE)
+    sql["bm25_topk_sharded"] = _topk_sql(Q_DISJ)
+    sql["bm25_topk_sharded_conjunctive"] = _topk_sql(Q_CONJ, conjunctive=True)
     sql["bm25_topk_k100"] = _topk_sql(Q_DISJ, k=100)
     sql["tfidf_topk_conjunctive"] = _topk_sql(Q_CONJ, scorer="tfidf", conjunctive=True)
 

@@ -240,6 +240,14 @@ class IndexBuilder:
             # content column entirely: at 100 TB the cache is the token
             # arrays, not a second copy of the corpus.
             src = filter_malformed(corpus)
+            # sharded builds (index/sharded.py) pre-assign GLOBAL doc_ids
+            # and the sha256 invariant on the full corpus before slicing
+            # it into shards — re-assigning here would renumber each
+            # shard 1..n and break cross-shard doc_id identity
+            if "doc_id" not in src.columns:
+                src = assign_doc_ids(src)
+            if "sha256" not in src.columns:
+                src = with_sha256(src)
             # T1-T8 are native Column expressions (JVM, codegen). Stemming
             # (T9) deliberately does NOT run here: per-token Python — even
             # Arrow-batched — is the slow path; it's applied
@@ -248,7 +256,7 @@ class IndexBuilder:
             # doc_len counts post-stopword tokens; stemming (1:1) and
             # truncation don't change it (PartialIndexBuilder.java:63)
             tokenized = (
-                with_sha256(assign_doc_ids(src))
+                src
                 .withColumn("tokens_raw", tokenize_raw(F.col("content"), cfg))
                 .withColumn("doc_len", F.size("tokens_raw"))
                 .drop("content")

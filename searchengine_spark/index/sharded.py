@@ -1,0 +1,236 @@
+"""Sharded index + scatter-gather query — the 100-TB deployment shape
+(VERDICT r4 "Next round" #2, promoted from scripts/scaling_exec_job.py).
+
+The reference's SPIMI build writes per-block partial indexes and merges
+them (index/IndexMerger.java); at cluster scale the standard layout is
+the transpose: the CORPUS is partitioned into shards, each shard gets a
+complete self-contained index built by its own executor group, and a
+query fans out to every shard and k-way-merges the per-shard top-k.
+
+Global-semantics invariants (what makes sharded top-k ≡ single-index
+top-k):
+
+* **Global doc_ids.** ``build_sharded_index`` assigns dense doc_ids and
+  the sha256 invariant over the FULL corpus first (the same frozen
+  range-boundary two-phase assignment every build uses), then slices by
+  ``(doc_id - 1) % n_shards``; the per-shard builder detects the
+  pre-assigned columns and never renumbers.
+* **Global statistics.** BM25 needs collection-level n_docs / avgdl and
+  per-term df. Per-shard stats.json carry exact integer counts, so the
+  global stats are exact sums (written to ``sharded_manifest.json``),
+  and per-term global df is the sum of the per-shard lexicon probes at
+  query time — idf = log10(n_docs_global / df_global), the same
+  expression shape as the single-index build.
+* **Per-shard k suffices for global k.** Shards partition the doc_id
+  space, so each member of the global top-k ranks above every other doc
+  of its own shard that is outside the global top-k — i.e. it sits
+  within its shard's top-k under the same total order (score desc,
+  doc_id asc). Union of per-shard top-k therefore CONTAINS the global
+  top-k; one re-sort + limit recovers it exactly.
+* **Bit-identical scores.** Each shard scores with the global avgdl and
+  idf injected; the per-doc sum folds addends in sorted-term order
+  (terms absent from a shard's lexicon contribute the same exact +0.0
+  as the single-index coalesce chain), so every doc's score carries the
+  identical double bits it gets from a single index.
+
+MaxScore pruning is intentionally NOT offered across shards: the
+persisted per-block score maxima embed each shard's LOCAL idf, which is
+not an upper bound under global idf. DAAT / conjunctive are exact; a
+rebuild-with-global-stats pass could re-enable MaxScore per shard.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import EngineConfig
+from ..query.engine import SearchEngine
+from ..sources.corpus import assign_doc_ids, filter_malformed, with_sha256
+from .builder import IndexBuilder
+
+MANIFEST = "sharded_manifest.json"
+
+
+def build_sharded_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    config: Optional[EngineConfig] = None,
+    resume: bool = True,
+) -> dict:
+    """Build ``n_shards`` self-contained indexes under
+    ``out_dir/shard=<i>`` plus a top-level manifest with the exact
+    global collection stats. Each shard build is an independent
+    resumable IndexBuilder run (per-stage lineage per shard), which is
+    exactly how a 1000-executor deployment schedules it: one builder
+    job per shard, no cross-shard shuffle at all."""
+    out_dir = out_dir.rstrip("/")
+    os.makedirs(out_dir, exist_ok=True)
+    prepared = with_sha256(assign_doc_ids(filter_malformed(corpus)))
+    shard_dirs = []
+    reports = []
+    for i in range(n_shards):
+        d = os.path.join(out_dir, f"shard={i}")
+        shard_dirs.append(d)
+        shard = prepared.filter((F.col("doc_id") - 1) % n_shards == i)
+        reports.append(
+            IndexBuilder(spark, d, config).build(shard, resume=resume)
+        )
+    true_docs = 0
+    tot = 0.0
+    for d in shard_dirs:
+        with open(os.path.join(d, "stats.json")) as f:
+            s = json.load(f)
+        true_docs += s["true_doc_count"]
+        tot += s["tot_doc_len"]
+    n_docs = true_docs + 1  # Q-1 parity — same inflation as a single build
+    manifest = {
+        "n_shards": n_shards,
+        "shard_dirs": [f"shard={i}" for i in range(n_shards)],
+        "stats": {
+            "true_doc_count": true_docs,
+            "n_docs": n_docs,
+            "tot_doc_len": tot,
+            "avgdl": tot / n_docs,
+        },
+    }
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return {"manifest": manifest, "shards": reports}
+
+
+class ShardedSearchEngine:
+    """Scatter-gather top-k over a sharded index.
+
+    The gather side needs only per-shard top-k rows (k * n_shards rows
+    total), so the merge is a driver-side re-sort when every shard runs
+    the driver-local fast path, or a union + TakeOrderedAndProject when
+    any shard's slice overflows the local gate — the per-shard subtrees
+    are independent branches of ONE Spark job either way."""
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir.rstrip("/")
+        with open(os.path.join(self.base_dir, MANIFEST)) as f:
+            self.manifest = json.load(f)
+        self.stats = self.manifest["stats"]
+        self.engines = []
+        for rel in self.manifest["shard_dirs"]:
+            e = SearchEngine(spark, os.path.join(self.base_dir, rel))
+            # inject the GLOBAL collection stats: every scoring
+            # expression reads avgdl/n_docs from engine.stats
+            e.stats = dict(e.stats, **self.stats)
+            self.engines.append(e)
+        self.config = self.engines[0].config
+
+    def tokenize_query(self, text: str) -> list[str]:
+        return self.engines[0].tokenize_query(text)
+
+    def _global_term_stats(
+        self, terms: Sequence[str]
+    ) -> tuple[dict[str, dict], list[dict[str, dict]]]:
+        """Per-term GLOBAL stats (df summed across shards, idf from the
+        global n_docs) + each shard's raw probe. Driver-side pyarrow
+        lexicon probes only — no Spark job."""
+        per_shard = [e._term_stats(terms) for e in self.engines]
+        out: dict[str, dict] = {}
+        for t in terms:
+            df = sum(s[t]["df"] for s in per_shard if t in s)
+            if df:
+                out[t] = {
+                    "df": df,
+                    "idf": math.log10(float(self.stats["n_docs"]) / df),
+                }
+        return out, per_shard
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "disjunctive",
+        scorer: str = "bm25",
+        local: Optional[bool] = None,
+    ) -> DataFrame:
+        """Global top-k: fan out to every shard (per-shard k — see module
+        docstring for why that suffices), merge by (score desc, doc_id
+        asc), keep k. Returns (rank, doc_id, score) bit-identical in
+        doc_ids/scores to a single-index DAAT run up to idf's last ulp
+        (idf is recomputed from the exact global df)."""
+        terms = self.tokenize_query(query)
+        gstats, per_shard = self._global_term_stats(terms)
+        terms = [t for t in terms if t in gstats]
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "rank int, doc_id long, score double"
+            )
+        shard_terms: list[list[str]] = []
+        for sstats in per_shard:
+            ts = [t for t in terms if t in sstats]
+            if mode == "conjunctive" and len(ts) != len(terms):
+                # a term missing from a shard's lexicon occurs in none of
+                # its docs: the shard cannot satisfy the conjunction
+                ts = []
+            shard_terms.append(ts)
+
+        use_local = local
+        if use_local is None:
+            total_df = sum(gstats[t]["df"] for t in terms)
+            use_local = total_df <= SearchEngine.LOCAL_EXEC_MAX_POSTINGS
+            if any(
+                e.config.compression and not e._decoded_has_doc_len
+                for e in self.engines
+            ):
+                use_local = False
+
+        if use_local:
+            parts = []
+            for e, ts, sstats in zip(self.engines, shard_terms, per_shard):
+                if not ts:
+                    continue
+                sub = {t: {**sstats[t], "idf": gstats[t]["idf"]} for t in ts}
+                pdf = e._local_topk(ts, sub, scorer, mode, "daat", k)
+                if len(pdf):
+                    parts.append(pdf)
+            if not parts:
+                return self.spark.createDataFrame(
+                    [], "rank int, doc_id long, score double"
+                )
+            merged = pd.concat(parts, ignore_index=True)
+            merged = merged.sort_values(
+                ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+            ).head(k)
+            merged["rank"] = range(1, len(merged) + 1)
+            return self.engines[0]._local_df(
+                merged[["rank", "doc_id", "score"]]
+            )
+
+        parts_df = []
+        for e, ts, sstats in zip(self.engines, shard_terms, per_shard):
+            if not ts:
+                continue
+            sub = {t: {**sstats[t], "idf": gstats[t]["idf"]} for t in ts}
+            if mode == "conjunctive":
+                topk = e._conjunctive(ts, sub, scorer, k)
+            else:
+                topk = e._daat(ts, sub, scorer, k)
+            parts_df.append(topk.select("doc_id", "score"))
+        if not parts_df:
+            return self.spark.createDataFrame(
+                [], "rank int, doc_id long, score double"
+            )
+        union = parts_df[0]
+        for p in parts_df[1:]:
+            union = union.unionByName(p)
+        merged = union.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return merged.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "doc_id", "score"
+        )

@@ -1,0 +1,106 @@
+"""Sharded index + scatter-gather query (VERDICT r4 "Next round" #2):
+per-shard top-k merged under the global (score desc, doc_id asc) order
+must reproduce the single-index results exactly, across shard counts,
+modes, and both merge paths (driver-local and distributed union)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.index.sharded import (
+    MANIFEST,
+    ShardedSearchEngine,
+    build_sharded_index,
+)
+from searchengine_spark.query.engine import SearchEngine
+from tests.conftest import TEST_CONFIG
+
+QUERIES = [
+    "spark table join fast",
+    "window agg customer stream",
+    "hash join broadcast skew",
+    "fast merge batch sort",
+    "row",
+    "the and of",
+]
+
+
+@pytest.fixture(scope="module")
+def single(spark, index_dir):
+    return SearchEngine(spark, index_dir)
+
+
+@pytest.fixture(scope="module", params=[2, 3])
+def sharded(request, spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sharded") / f"n{request.param}")
+    build_sharded_index(spark, corpus, d, request.param, TEST_CONFIG)
+    return ShardedSearchEngine(spark, d)
+
+
+def _rows(df):
+    return [(r["rank"], r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+
+@pytest.mark.parametrize("mode", ["disjunctive", "conjunctive"])
+def test_sharded_equals_single_index(single, sharded, mode):
+    for q in QUERIES:
+        want = _rows(single.search(q, k=10, mode=mode, local=False))
+        assert _rows(sharded.search(q, k=10, mode=mode)) == want, (q, mode)
+        assert (
+            _rows(sharded.search(q, k=10, mode=mode, local=False)) == want
+        ), (q, mode, "distributed merge")
+
+
+def test_sharded_k100(single, sharded):
+    q = QUERIES[0]
+    want = _rows(single.search(q, k=100, local=False))
+    assert len(want) > 10
+    assert _rows(sharded.search(q, k=100)) == want
+
+
+def test_global_stats_exact(single, sharded):
+    assert sharded.stats["n_docs"] == single.stats["n_docs"]
+    assert sharded.stats["tot_doc_len"] == single.stats["tot_doc_len"]
+    assert sharded.stats["avgdl"] == single.stats["avgdl"]
+
+
+def test_shards_partition_global_doc_ids(spark, single, sharded):
+    """Shards carry GLOBAL doc_ids: their doctables partition the
+    single index's doc_id set exactly, and the per-row sha256 invariant
+    survives the slicing."""
+    single_doct = spark.read.parquet(
+        os.path.join(single.index_dir, "doctable")
+    ).select("doc_id", "sha256")
+    parts = [
+        spark.read.parquet(os.path.join(e.index_dir, "doctable")).select(
+            "doc_id", "sha256"
+        )
+        for e in sharded.engines
+    ]
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    assert union.count() == single_doct.count()
+    assert union.join(single_doct, ["doc_id", "sha256"]).count() == (
+        single_doct.count()
+    )
+
+
+def test_sharded_build_is_resumable(spark, corpus, sharded):
+    """Re-running the build with resume=True skips every stage of every
+    shard (per-shard manifests record completion) and reproduces the
+    same global manifest."""
+    base = sharded.base_dir
+    with open(os.path.join(base, MANIFEST)) as f:
+        before = json.load(f)
+    rep = build_sharded_index(
+        spark, corpus, base, before["n_shards"], TEST_CONFIG, resume=True
+    )
+    assert rep["manifest"] == before
+
+
+def test_unknown_and_empty_queries(sharded):
+    assert _rows(sharded.search("zzzunknownzzz", k=10)) == []
+    assert _rows(sharded.search("the and of", k=10)) == []
