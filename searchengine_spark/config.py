@@ -68,6 +68,14 @@ class EngineConfig:
     # default because it roughly doubles index size.
     positions: bool = False
 
+    # store each (term, doc_id) positions array delta+VByte-compressed
+    # (functions/codecs.py vbyte_encode_delta over positions+1 — sorted
+    # 0-based positions are strictly increasing, so gaps are >= 1).
+    # Positions are the largest index surface when enabled; gaps in a
+    # dense occurrence list cost 1 byte each vs parquet's 4-byte ints.
+    # Query results are identical (phrase_search decodes in-flight).
+    compress_positions: bool = False
+
     # number of term hash-buckets the postings/lexicon tables are
     # partitioned by (query-time partition pruning on pmod(crc32(term)) —
     # crc32 so external engines/oracles can reproduce the bucketing)

@@ -331,13 +331,27 @@ class IndexBuilder:
                 # rides along (one int/row) so phrase scoring needs NO
                 # doctable join at query time (J7's pattern)
                 t0 = time.time()
-                (
-                    exploded.groupBy("term", "doc_id")
-                    .agg(
-                        F.sort_array(F.collect_list("pos")).alias("positions"),
-                        F.first("doc_len").alias("doc_len"),
+                pos_rows = exploded.groupBy("term", "doc_id").agg(
+                    F.sort_array(F.collect_list("pos")).alias("positions"),
+                    F.first("doc_len").alias("doc_len"),
+                )
+                if cfg.compress_positions:
+                    # delta+VByte the sorted array (the same codec as the
+                    # compressed postings' doc_id gaps): positions are
+                    # strictly increasing 0-based ints, so +1 makes every
+                    # gap >= 1 as vbyte_encode_delta requires. n_pos rides
+                    # along so term-frequency consumers never decode.
+                    pos_rows = pos_rows.select(
+                        "term",
+                        "doc_id",
+                        F.size("positions").cast("int").alias("n_pos"),
+                        _encode_positions(F.col("positions")).alias(
+                            "positions_vb"
+                        ),
+                        "doc_len",
                     )
-                    .withColumn(
+                (
+                    pos_rows.withColumn(
                         "term_bucket",
                         term_bucket_expr(F.col("term"), cfg.n_term_buckets),
                     )
@@ -666,6 +680,18 @@ class IndexBuilder:
         manifest["index_dir"] = self.index_dir
         self._save_manifest(manifest)
         return manifest
+
+
+@F.pandas_udf(T.BinaryType())
+def _encode_positions(col: pd.Series) -> pd.Series:
+    """delta+VByte of a sorted 0-based positions array: +1 shifts to the
+    strictly-increasing >=1 domain vbyte_encode_delta requires (the
+    decode side subtracts it back — query/engine.py phrase path)."""
+    import numpy as np
+
+    return col.map(
+        lambda a: codecs.vbyte_encode_delta(np.asarray(a, dtype="int64") + 1)
+    )
 
 
 def _compress_blocks(blocks: DataFrame, delta: bool = False) -> DataFrame:

@@ -51,6 +51,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..config import EngineConfig
 from ..functions.scoring import bm25_partial_expr, tfidf_partial_expr
@@ -1158,7 +1159,22 @@ class SearchEngine:
         # pay every time, like postings/doctable in __init__)
         if self._positions_df is None:
             self._positions_df = self.spark.read.parquet(pos_dir)
-        pos = self._positions_df.filter(self._bucket_filter(terms))
+        # bucket prune (partition-level) + term IN-list (pushed to the
+        # parquet scan — positions files are term-sorted within each
+        # bucket, so row-group min/max stats skip everything else; the
+        # later element_at null-drop would discard those rows anyway,
+        # but only AFTER exploding / decoding them)
+        pos = self._positions_df.filter(self._bucket_filter(terms)).filter(
+            F.col("term").isin(list(set(terms)))
+        )
+        if "positions_vb" in pos.columns:
+            # compressed positional layout (EngineConfig.compress_positions):
+            # decode in-flight AFTER the bucket prune — only the phrase
+            # terms' rows pay the codec, and the scan never reads an int
+            # array column at all
+            pos = pos.withColumn(
+                "positions", _decode_positions(F.col("positions_vb"))
+            )
         # term -> ARRAY of phrase offsets as a literal map: a term
         # repeated in the phrase ("big data big") occupies several
         # offsets, and each position row must fan out to all of them —
@@ -1381,6 +1397,18 @@ class SearchEngine:
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "doc_id", "score")
         )
+
+
+@F.pandas_udf(T.ArrayType(T.IntegerType()))
+def _decode_positions(col: pd.Series) -> pd.Series:
+    """Inverse of index/builder.py _encode_positions: delta+VByte decode
+    then -1 back to 0-based positions. Arrow-batched; one numpy array
+    per row, no per-row Python beyond the codec call."""
+    from ..functions import codecs
+
+    return col.map(
+        lambda b: (codecs.vbyte_decode_delta(b) - 1).astype("int32")
+    )
 
 
 def _decode_blocks(blocks: DataFrame, delta: bool = False) -> DataFrame:

@@ -328,6 +328,21 @@ class StreamingIndexer:
             # same layout as the batch builder's positions stage:
             # bucket-partitioned so phrase queries partition-prune
             t0 = time.time()
+            if self.config.compress_positions:
+                # segments stay raw (small per-batch files, appendable);
+                # the durable compacted table takes the delta+VByte
+                # layout, same as a batch build with this config
+                from ..index.builder import _encode_positions
+
+                pos = pos.select(
+                    "term",
+                    "doc_id",
+                    F.size("positions").cast("int").alias("n_pos"),
+                    _encode_positions(F.col("positions")).alias(
+                        "positions_vb"
+                    ),
+                    "doc_len",
+                )
             (
                 pos.withColumn(
                     "term_bucket",
