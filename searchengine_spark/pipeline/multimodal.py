@@ -269,6 +269,308 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
     return arr[: n * ch].reshape(n, ch), rate
 
 
+# ---------------------------------------------------------------------------
+# MP4 / MP3 container metadata probes (round 5 — VERDICT r4 #5). Real
+# multimodal corpora carry MP4/MP3 alongside the PNG/JPEG/WAV this module
+# decodes from spec; a from-scratch H.264/MP3 DECODER is out of scope
+# (extract_features keeps its declared NotImplementedError for them), but
+# dimensions / duration / codec come straight off the container headers —
+# pure struct walks like wav_decode, per the public ISO BMFF (ISO/IEC
+# 14496-12) and MPEG audio frame-header layouts.
+# ---------------------------------------------------------------------------
+
+MP4_FTYP = b"ftyp"
+
+
+def _mp4_boxes(buf: bytes, pos: int, end: int):
+    """Yield (type, body_start, body_end) for ISO BMFF boxes in
+    buf[pos:end]; handles 64-bit largesize and size==0 (to end)."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", buf[pos : pos + 4])
+        tag = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4: largesize header cut off")
+            (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError("truncated MP4: box extends past payload")
+        yield tag, body, pos + size
+        pos += size
+
+
+def _mp4_find(buf: bytes, pos: int, end: int, tag: bytes):
+    for t, b, e in _mp4_boxes(buf, pos, end):
+        if t == tag:
+            return b, e
+    return None
+
+
+def mp4_metadata(payload: bytes) -> dict:
+    """Container-level metadata from MP4 box headers — no sample decode:
+    brand (ftyp), duration (mvhd timescale/duration), visual dimensions
+    (first trak's tkhd 16.16 fixed-point width/height), codec fourcc
+    (first stsd sample entry). Malformed/truncated input raises
+    ValueError; this probe never touches mdat."""
+    if len(payload) < 12 or payload[4:8] != MP4_FTYP:
+        raise ValueError("not an ISO BMFF (MP4) payload")
+    end = len(payload)
+    brand = payload[8:12].decode("ascii", "replace").strip()
+    moov = _mp4_find(payload, 0, end, b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    out = {
+        "format": "mp4",
+        "brand": brand,
+        "codec": None,
+        "width": None,
+        "height": None,
+        "duration_sec": None,
+    }
+    mvhd = _mp4_find(payload, moov[0], moov[1], b"mvhd")
+    if mvhd is not None:
+        b, _e = mvhd
+        version = payload[b]
+        if version == 1:
+            timescale, duration = struct.unpack(
+                ">IQ", payload[b + 20 : b + 32]
+            )
+        else:
+            timescale, duration = struct.unpack(
+                ">II", payload[b + 12 : b + 20]
+            )
+        if timescale:
+            out["duration_sec"] = round(duration / timescale, 6)
+    for tag, b, e in _mp4_boxes(payload, moov[0], moov[1]):
+        if tag != b"trak":
+            continue
+        tkhd = _mp4_find(payload, b, e, b"tkhd")
+        if tkhd is not None:
+            tb, te = tkhd
+            # width/height are the LAST two 16.16 fields of tkhd
+            w16, h16 = struct.unpack(">II", payload[te - 8 : te])
+            if w16 and h16 and out["width"] is None:
+                out["width"] = w16 >> 16
+                out["height"] = h16 >> 16
+        path = b"mdia", b"minf", b"stbl", b"stsd"
+        lo, hi = b, e
+        for t in path:
+            nxt = _mp4_find(payload, lo, hi, t)
+            if nxt is None:
+                lo = None
+                break
+            lo, hi = nxt
+        if lo is not None and out["codec"] is None:
+            # stsd: version/flags(4) entry_count(4) then sample entries,
+            # each a box whose type is the codec fourcc
+            for t, _b2, _e2 in _mp4_boxes(payload, lo + 8, hi):
+                out["codec"] = t.decode("ascii", "replace").strip()
+                break
+    return out
+
+
+def mp4_encode_minimal(
+    width: int = 0,
+    height: int = 0,
+    duration_sec: float = 0.0,
+    codec: bytes = b"avc1",
+    timescale: int = 1000,
+) -> bytes:
+    """Minimal ISO BMFF fixture writer (the MP4 analogue of wav_encode /
+    jpeg_encode): ftyp + moov(mvhd, trak(tkhd, mdia(minf(stbl(stsd)))))
+    + empty mdat. Enough structure for mp4_metadata and for real players
+    to identify the file; carries no samples."""
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    dur = int(round(duration_sec * timescale))
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">I", 0)                      # version/flags
+        + struct.pack(">II", 0, 0)                # creation/modification
+        + struct.pack(">II", timescale, dur)
+        + struct.pack(">I", 0x00010000)           # rate 1.0
+        + struct.pack(">H", 0x0100)               # volume 1.0
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),                   # next track id
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">I", 7)                      # version/flags (enabled)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)                    # track id
+        + b"\x00" * 4
+        + struct.pack(">I", dur)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)        # layer/alt/volume/reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    sample_entry = (
+        struct.pack(">I", 16) + codec + b"\x00" * 6 + struct.pack(">H", 1)
+    )
+    stsd = box(b"stsd", struct.pack(">I", 0) + struct.pack(">I", 1) + sample_entry)
+    moov = box(
+        b"moov",
+        mvhd
+        + box(b"trak", tkhd + box(b"mdia", box(b"minf", box(b"stbl", stsd)))),
+    )
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    return ftyp + moov + box(b"mdat", b"")
+
+
+# MPEG audio frame header tables (public ISO/IEC 11172-3 / 13818-3):
+# bitrate kbps by [version][bitrate_index] for Layer III, sample rates
+# by [version][rate_index]. version key: 3=MPEG1, 2=MPEG2, 0=MPEG2.5.
+_MP3_BITRATES = {
+    3: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    0: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _mp3_frame_header(payload: bytes, pos: int):
+    """Parse the 4-byte MPEG Layer III frame header at pos -> (frame_len,
+    samples_per_frame, sample_rate, bitrate_kbps, channels) or None when
+    pos doesn't hold a valid sync."""
+    if pos + 4 > len(payload):
+        return None
+    b0, b1, b2, b3 = payload[pos : pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version = (b1 >> 3) & 0x3     # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    layer = (b1 >> 1) & 0x3       # 1 == Layer III
+    if version == 1 or layer != 1:
+        return None
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    padding = (b2 >> 1) & 0x1
+    bitrate = _MP3_BITRATES[version][br_idx]
+    rate = _MP3_RATES[version][sr_idx]
+    spf = 1152 if version == 3 else 576
+    frame_len = (spf // 8) * bitrate * 1000 // rate + padding
+    channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2
+    return frame_len, spf, rate, bitrate, channels
+
+
+def mp3_metadata(payload: bytes) -> dict:
+    """Frame-header walk over an MPEG Layer III stream: skips a leading
+    ID3v2 tag (syncsafe size), requires a valid sync at the stream
+    start, then counts frames for an exact CBR duration (VBR streams get
+    the same walk — every frame header carries its own bitrate). No
+    audio decode. Malformed input raises ValueError."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("truncated ID3v2 header")
+        sz = 0
+        for byte in payload[6:10]:
+            sz = (sz << 7) | (byte & 0x7F)
+        pos = 10 + sz
+    hdr = _mp3_frame_header(payload, pos)
+    if hdr is None:
+        raise ValueError("not an MPEG Layer III stream (no frame sync)")
+    n_frames = 0
+    samples = 0
+    rate = hdr[2]
+    bitrate = hdr[3]
+    channels = hdr[4]
+    while True:
+        hdr = _mp3_frame_header(payload, pos)
+        if hdr is None:
+            break
+        frame_len, spf, rate, bitrate, channels = hdr
+        if pos + frame_len > len(payload):
+            break  # final truncated frame: stop counting
+        n_frames += 1
+        samples += spf
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("MPEG stream holds no complete frame")
+    return {
+        "format": "mp3",
+        "codec": "mp3",
+        "sample_rate": rate,
+        "bitrate_kbps": bitrate,
+        "channels": channels,
+        "n_frames": n_frames,
+        "duration_sec": round(samples / rate, 6),
+    }
+
+
+def mp3_encode_minimal(
+    n_frames: int = 10,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    channels: int = 2,
+    id3: bool = False,
+) -> bytes:
+    """Fixture writer: n_frames valid MPEG-1 Layer III CBR frame headers
+    with zeroed frame bodies (optionally behind an ID3v2 tag). Not
+    playable audio — exactly enough container truth for mp3_metadata."""
+    br_idx = _MP3_BITRATES[3].index(bitrate_kbps)
+    sr_idx = _MP3_RATES[3].index(sample_rate)
+    mode = 3 if channels == 1 else 0
+    hdr = bytes(
+        [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), mode << 6]
+    )
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = hdr + b"\x00" * (frame_len - 4)
+    out = frame * n_frames
+    if id3:
+        body = b"\x00" * 17
+        tag = b"ID3" + bytes([3, 0, 0]) + bytes(
+            [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+             (len(body) >> 7) & 0x7F, len(body) & 0x7F]
+        ) + body
+        out = tag + out
+    return out
+
+
+def container_metadata(payload: bytes):
+    """(width, height, format, codec, duration_sec) across every
+    container this module understands — PNG/JPEG headers, MP4 boxes,
+    MP3 frame headers, RIFF/WAVE fmt+data chunks. All-None for
+    unrecognized or malformed payloads (a metadata sweep over a mixed
+    100-TB corpus must not die on one bad row)."""
+    try:
+        if payload[4:8] == MP4_FTYP:
+            m = mp4_metadata(payload)
+            return (
+                m["width"], m["height"], "mp4", m["codec"], m["duration_sec"]
+            )
+        if payload[:3] == b"ID3" or (
+            len(payload) >= 4 and _mp3_frame_header(payload, 0) is not None
+        ):
+            m = mp3_metadata(payload)
+            return None, None, "mp3", "mp3", m["duration_sec"]
+        if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
+            samples, rate = wav_decode(payload)
+            return (
+                None, None, "wav", "pcm",
+                round(samples.shape[0] / rate, 6),
+            )
+        w, h, fmt = image_dimensions(payload)
+        if fmt is not None:
+            return w, h, fmt, fmt, None
+    except Exception:
+        pass
+    return None, None, None, None, None
+
+
 def audio_features(samples: np.ndarray, rate: int, dim: int = 8) -> np.ndarray:
     """Fixed-dim feature vector from decoded audio: [duration_sec, rate,
     channels, rms, peak, zero_crossing_rate, mean_ch0, mean_ch1],
@@ -326,22 +628,31 @@ def attach_media_metadata(
 ) -> DataFrame:
     """Typed metadata over an opaque binary column. n_bytes/sha are
     cheap JVM-side columns; ``dimensions=True`` adds (width, height,
-    format) via a vectorized pandas UDF that parses only the PNG IHDR /
-    JPEG SOF headers — no pixel decode, nulls for unrecognized
-    payloads."""
+    format, codec, duration_sec) via a vectorized pandas UDF that parses
+    only container headers — PNG IHDR / JPEG SOF dimensions, MP4 box
+    tree (tkhd dimensions, mvhd duration, stsd codec fourcc), MP3 frame
+    headers (duration), WAVE fmt+data (duration) — never sample data.
+    Nulls for unrecognized payloads."""
     out = df.withColumn(
         "n_bytes", F.length(F.col(payload_col)).cast("long")
     ).withColumn("payload_sha", F.sha2(F.col(payload_col), 256))
     if not dimensions:
         return out
 
-    @F.pandas_udf("struct<width: int, height: int, format: string>")
+    @F.pandas_udf(
+        "struct<width: int, height: int, format: string, codec: string,"
+        " duration_sec: double>"
+    )
     def dims(col: pd.Series) -> pd.DataFrame:
-        rows = [image_dimensions(bytes(p)) for p in col]
-        return pd.DataFrame(rows, columns=["width", "height", "format"])
+        rows = [container_metadata(bytes(p)) for p in col]
+        return pd.DataFrame(
+            rows,
+            columns=["width", "height", "format", "codec", "duration_sec"],
+        )
 
     return out.withColumn("_d", dims(F.col(payload_col))).select(
-        "*", "_d.width", "_d.height", "_d.format"
+        "*", "_d.width", "_d.height", "_d.format", "_d.codec",
+        "_d.duration_sec",
     ).drop("_d")
 
 

@@ -226,3 +226,106 @@ def test_fake_decoder_still_deterministic(spark):
     )
     feats = [r["feature"] for r in MM.extract_features(df, fake=True).collect()]
     assert feats[0] == feats[1]
+
+
+# ---------------------------------------------------------------------------
+# MP4 / MP3 container metadata probes (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_metadata_roundtrip():
+    payload = MM.mp4_encode_minimal(640, 360, 12.5, codec=b"avc1")
+    m = MM.mp4_metadata(payload)
+    assert m["format"] == "mp4"
+    assert m["brand"] == "isom"
+    assert (m["width"], m["height"]) == (640, 360)
+    assert m["codec"] == "avc1"
+    assert m["duration_sec"] == pytest.approx(12.5)
+
+
+def test_mp4_metadata_audio_only_track():
+    # zero width/height (audio track): dimensions stay None, codec parsed
+    m = MM.mp4_metadata(MM.mp4_encode_minimal(0, 0, 3.0, codec=b"mp4a"))
+    assert m["width"] is None and m["height"] is None
+    assert m["codec"] == "mp4a" and m["duration_sec"] == pytest.approx(3.0)
+
+
+def test_mp4_metadata_errors():
+    with pytest.raises(ValueError, match="not an ISO BMFF"):
+        MM.mp4_metadata(b"\x00" * 32)
+    good = MM.mp4_encode_minimal(64, 64, 1.0)
+    with pytest.raises(ValueError, match="truncated MP4"):
+        MM.mp4_metadata(good[: len(good) // 2])
+    # ftyp present but no moov
+    ftyp_only = good[:24]
+    (sz,) = struct.unpack(">I", ftyp_only[:4])
+    with pytest.raises(ValueError):
+        MM.mp4_metadata(good[:sz])
+
+
+@pytest.mark.parametrize("id3", [False, True])
+@pytest.mark.parametrize("channels", [1, 2])
+def test_mp3_metadata_roundtrip(id3, channels):
+    payload = MM.mp3_encode_minimal(
+        n_frames=10, bitrate_kbps=128, sample_rate=44100,
+        channels=channels, id3=id3,
+    )
+    m = MM.mp3_metadata(payload)
+    assert m["format"] == "mp3"
+    assert m["sample_rate"] == 44100
+    assert m["bitrate_kbps"] == 128
+    assert m["channels"] == channels
+    assert m["n_frames"] == 10
+    assert m["duration_sec"] == pytest.approx(10 * 1152 / 44100, abs=1e-6)
+
+
+def test_mp3_metadata_truncated_final_frame():
+    payload = MM.mp3_encode_minimal(n_frames=5)
+    m = MM.mp3_metadata(payload[:-10])  # cut into the last frame
+    assert m["n_frames"] == 4
+
+
+def test_mp3_metadata_errors():
+    with pytest.raises(ValueError, match="no frame sync"):
+        MM.mp3_metadata(b"\x00" * 64)
+    with pytest.raises(ValueError, match="truncated ID3v2"):
+        MM.mp3_metadata(b"ID3\x03\x00")
+
+
+def test_container_metadata_dispatch():
+    png = MM.png_encode(_rand_img(4, 6, 3, seed=9))
+    assert MM.container_metadata(png) == (6, 4, "png", "png", None)
+    wav = MM.wav_encode(np.zeros(16_000), sample_rate=16_000)
+    assert MM.container_metadata(wav) == (None, None, "wav", "pcm", 1.0)
+    mp4 = MM.mp4_encode_minimal(320, 240, 2.0, codec=b"hvc1")
+    assert MM.container_metadata(mp4) == (320, 240, "mp4", "hvc1", 2.0)
+    mp3 = MM.mp3_encode_minimal(n_frames=25, sample_rate=44100)
+    w, h, fmt, codec, dur = MM.container_metadata(mp3)
+    assert (w, h, fmt, codec) == (None, None, "mp3", "mp3")
+    assert dur == pytest.approx(25 * 1152 / 44100, abs=1e-6)
+    assert MM.container_metadata(b"garbage") == (
+        None, None, None, None, None
+    )
+
+
+def test_attach_media_metadata_mixed_containers(spark):
+    rows = [
+        (1, bytearray(MM.png_encode(_rand_img(4, 6, 3, seed=1)))),
+        (2, bytearray(MM.mp4_encode_minimal(320, 240, 2.0))),
+        (3, bytearray(MM.mp3_encode_minimal(n_frames=10))),
+        (4, bytearray(MM.wav_encode(np.zeros(8000), sample_rate=16_000))),
+        (5, bytearray(b"not media")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (
+            r["width"], r["height"], r["format"], r["codec"],
+            r["duration_sec"],
+        )
+        for r in MM.attach_media_metadata(df, dimensions=True).collect()
+    }
+    assert got[1] == (6, 4, "png", "png", None)
+    assert got[2] == (320, 240, "mp4", "avc1", 2.0)
+    assert got[3][2:4] == ("mp3", "mp3")
+    assert got[4] == (None, None, "wav", "pcm", 0.5)
+    assert got[5] == (None, None, None, None, None)
