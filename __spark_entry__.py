@@ -659,6 +659,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_hamming=ANN_MAX_HAMMING,
         ).select(F.col("vec_id").cast("long").alias("vec_id"), "cosine")
 
+    def embedding_cosine_topk_streamed(spark, sf):
+        # streaming-ANN path (streaming/ann.py): the same base vectors
+        # arrive as THREE foreachBatch micro-batches, get compacted into
+        # a versioned store, and the probe must hash-match the SAME
+        # DuckDB SQL as the batch-built LSH store — streamed-then-
+        # compacted ≡ batch-built, under the driver oracle
+        from searchengine_spark.streaming.ann import StreamingAnnIndexer
+
+        out = (
+            "/tmp/se_entry_sann/"
+            + hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
+        )
+        marker = os.path.join(out, "_ENTRY_COMPLETE")
+        if not os.path.exists(marker):
+            import shutil as _shutil
+
+            _shutil.rmtree(out, ignore_errors=True)
+            idx = StreamingAnnIndexer(
+                spark, out, dim=ANN_DIM, n_planes=ANN_PLANES,
+                bands=ANN_BANDS, seed=ANN_SEED,
+            )
+            base = _base_vectors(spark, sf)
+            for b in range(3):
+                idx.process_batch(base.filter(F.col("vec_id") % 3 == b), b)
+            idx.compact()
+            with open(marker, "w") as f:
+                f.write("ok")
+        else:
+            idx = StreamingAnnIndexer(
+                spark, out, dim=ANN_DIM, n_planes=ANN_PLANES,
+                bands=ANN_BANDS, seed=ANN_SEED,
+            )
+        qv = _query_vector(spark, sf)
+        return idx.query(qv, k=10, max_hamming=ANN_MAX_HAMMING).select(
+            F.col("vec_id").cast("long").alias("vec_id"), "cosine"
+        )
+
     return {
         "doc_table": doc_table,
         "collection_stats": collection_stats,
@@ -690,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": simhash_near_pairs,
         "multimodal_features": multimodal_features,
         "embedding_cosine_topk_lsh": embedding_cosine_topk_lsh,
+        "embedding_cosine_topk_streamed": embedding_cosine_topk_streamed,
         "embedding_cosine_topk_ivf": embedding_cosine_topk_ivf,
         "ann_ivf_recall": ann_ivf_recall,
         "bm25_topk_compressed": bm25_topk_compressed,
@@ -1326,6 +1364,10 @@ FROM cos
 ORDER BY round(c, 6) DESC, vec_id
 LIMIT 10
 """
+
+    # streamed-then-compacted store over the same vectors: identical
+    # pipeline semantics, identical SQL
+    sql["embedding_cosine_topk_streamed"] = sql["embedding_cosine_topk_lsh"]
 
     # vector-space near-dup: same literal hyperplanes; banded self-join
     # candidates; exact cosine via list_inner_product; round-then-filter
