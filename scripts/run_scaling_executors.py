@@ -177,6 +177,182 @@ def cpu_ceiling(cpu_lo: int, cpu_hi: int, procs: int) -> float:
     return float(out.stdout.strip().splitlines()[-1])
 
 
+def run_paired(args) -> None:
+    """PAIRED interleaved estimator (VERDICT r4 "Next round" #1).
+
+    Peak-of-trials at each level samples DIFFERENT host-supply windows,
+    so the ratio of two peaks is noise-dominated on this VM (observed
+    same-command swings of 2x+ with guest steal%%=0). Instead, each pair
+    measures BOTH levels back-to-back in the same window:
+
+      * lone leg:       ONE JVM pinned to cores 0..n-1 builds shard 0
+                        (N executors' throughput per executor);
+      * concurrent leg: FOUR JVMs, one shard each, pinned to disjoint
+                        n-core groups (4N executors).
+
+    Work per executor is identical at both levels (weak scaling — how a
+    cluster actually grows: 4x executors, 4x data), so
+    tput_4N / (4 * tput_N) reduces to lone_wall / concurrent_wall.
+    Per pair we record lone/conc_shard0 (same shard, same cores — pure
+    interference) and lone/conc_max (level-completion semantics). Leg
+    order alternates L,C / C,L across pairs to cancel linear drift, and
+    an n-proc + 4n-proc pure-CPU ceiling control runs adjacent to every
+    pair on the same pinned cores. The estimator is the MEDIAN of
+    per-pair ratios; the spread is reported alongside.
+
+    Rank identity: every concurrent leg's 4-shard merged top-k hash must
+    be byte-identical across pairs, and the lone leg's shard-0 rows must
+    equal the concurrent leg's shard-0 rows exactly, every pair.
+    """
+    n = args.n
+    zip_path = "/tmp/searchengine_spark.zip"
+    zip_package(zip_path)
+    shard_dirs = prepare_shards(args.sf_dir, args.replicas)
+
+    def safe_ceiling(lo, hi, procs):
+        try:
+            return cpu_ceiling(lo, hi, procs)
+        except (subprocess.CalledProcessError, OSError, ValueError) as e:
+            print(f"cpu_ceiling control failed ({e})", file=sys.stderr)
+            return None
+
+    def lone_leg(t: int) -> dict:
+        out = f"/tmp/scaling_pair_lone_t{t}.json"
+        p = submit(0, n - 1, n, zip_path, [shard_dirs[0]], out, "N")
+        assert p.wait() == 0, "lone leg failed"
+        with open(out) as f:
+            return json.load(f)["shards"][0]
+
+    def concurrent_leg(t: int) -> list[dict]:
+        procs, outs = [], []
+        for i, sd in enumerate(shard_dirs):
+            out_i = f"/tmp/scaling_pair_conc_{i}_t{t}.json"
+            outs.append(out_i)
+            procs.append(
+                submit(i * n, (i + 1) * n - 1, n, zip_path, [sd], out_i,
+                       f"4N_{i}")
+            )
+        for p in procs:
+            assert p.wait() == 0, "a concurrent-leg executor job failed"
+        shards = []
+        for out_i in outs:
+            with open(out_i) as f:
+                shards.extend(json.load(f)["shards"])
+        return shards
+
+    pairs = []
+    merged_hashes = set()
+    shard_docs = None
+    for t in range(args.pairs):
+        ceil_n = safe_ceiling(0, n - 1, n)
+        ceil_4n = safe_ceiling(0, 4 * n - 1, 4 * n)
+        if t % 2 == 0:
+            lone = lone_leg(t)
+            conc = concurrent_leg(t)
+            order = "lone-first"
+        else:
+            conc = concurrent_leg(t)
+            lone = lone_leg(t)
+            order = "concurrent-first"
+        shard_docs = lone["n_docs"]
+        conc_by_name = {s["shard"]: s for s in conc}
+        conc0 = conc_by_name[lone["shard"]]
+        assert lone["results"] == conc0["results"], (
+            f"pair {t}: lone shard-0 top-k != concurrent shard-0 top-k"
+        )
+        merged_hashes.add(merged_hash(conc))
+        conc_max = max(s["build_sec"] for s in conc)
+        pair = {
+            "pair": t,
+            "order": order,
+            "lone_build_sec": lone["build_sec"],
+            "concurrent_build_sec_shard0": conc0["build_sec"],
+            "concurrent_build_sec_all": sorted(
+                s["build_sec"] for s in conc
+            ),
+            "eff_shard0": round(lone["build_sec"] / conc0["build_sec"], 4),
+            "eff_max": round(lone["build_sec"] / conc_max, 4),
+            "cpu_ceiling_eff": (
+                round(ceil_4n / (4.0 * ceil_n), 4)
+                if ceil_n and ceil_4n else None
+            ),
+            "query_p50_sec_lone": lone["query_p50_sec"],
+            "query_p50_sec_concurrent": round(statistics.median(
+                [s["query_p50_sec"] for s in conc]), 4),
+        }
+        pairs.append(pair)
+        print(json.dumps(pair), file=sys.stderr)
+
+    effs0 = [p["eff_shard0"] for p in pairs]
+    effsm = [p["eff_max"] for p in pairs]
+    ceffs = [p["cpu_ceiling_eff"] for p in pairs if p["cpu_ceiling_eff"]]
+    med0 = statistics.median(effs0)
+    medm = statistics.median(effsm)
+    med_lone = statistics.median(p["lone_build_sec"] for p in pairs)
+    med_conc = statistics.median(
+        max(p["concurrent_build_sec_all"]) for p in pairs
+    )
+    summary = {
+        "protocol": "PAIRED interleaved executor-sharded: each pair runs "
+                    "a lone pinned local[N] JVM (one shard) and four "
+                    "concurrent pinned local[N] JVMs (one shard each) "
+                    "back-to-back in the same host-supply window, leg "
+                    "order alternating; estimator = median of per-pair "
+                    "lone/concurrent wall ratios (weak scaling: work per "
+                    "executor identical at both levels). JVM boot + "
+                    "warm-up excluded at both levels.",
+        "sf_dir": args.sf_dir,
+        "replicas": args.replicas,
+        "n_shards": N_SHARDS,
+        "cores_per_executor": n,
+        "pairs": len(pairs),
+        "docs_per_shard": shard_docs,
+        "scaling_efficiency_paired_median": round(medm, 4),
+        "scaling_efficiency_paired_median_shard0": round(med0, 4),
+        "scaling_efficiency_paired_spread_max": [
+            min(effsm), max(effsm)
+        ],
+        "scaling_efficiency_paired_spread_shard0": [
+            min(effs0), max(effs0)
+        ],
+        "cpu_ceiling_efficiency_median": (
+            round(statistics.median(ceffs), 4) if ceffs else None
+        ),
+        "efficiency_vs_ceiling_median": (
+            round(medm / statistics.median(ceffs), 4) if ceffs else None
+        ),
+        "build_docs_per_sec_N": round(shard_docs / med_lone, 2),
+        "build_docs_per_sec_4N": round(4 * shard_docs / med_conc, 2),
+        "rank_identical": len(merged_hashes) == 1,
+        "topk_sha256": sorted(merged_hashes)[0],
+        "per_pair": pairs,
+    }
+    out_path = os.path.join(REPO, "SCALING.json")
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        summary["prior_protocols"] = {
+            k: prior.get(k)
+            for k in (
+                "protocol", "scaling_efficiency_build",
+                "build_docs_per_sec_N", "build_docs_per_sec_4N",
+                "cpu_ceiling_efficiency", "rank_identical",
+                "executor_protocol_history", "single_jvm_protocol_r3",
+                "diagnostics",
+            )
+            if k in prior
+        }
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(
+        {k: v for k, v in summary.items()
+         if k not in ("per_pair", "prior_protocols")},
+        indent=2,
+    ))
+    if len(merged_hashes) != 1:
+        sys.exit("FAIL: merged top-k differs across pairs")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8,
@@ -184,13 +360,20 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--replicas", type=int, default=400)
     ap.add_argument("--trials", type=int, default=2,
-                    help="runs per level; PEAK throughput is the"
-                    " estimator — identical runs on this VM swing 2x+"
-                    " from host-level interference invisible to the"
-                    " guest (steal%%=0 while it happens; see"
-                    " BASELINE.md), so the capability number is the"
-                    " best trial, as in run_scaling.py")
+                    help="(classic mode) runs per level; PEAK throughput"
+                    " is the estimator — identical runs on this VM swing"
+                    " 2x+ from host-level interference invisible to the"
+                    " guest (steal%%=0 while it happens; see BASELINE.md)")
+    ap.add_argument("--pairs", type=int, default=5,
+                    help="paired mode: number of interleaved"
+                    " lone/concurrent pairs (median of per-pair ratios)")
+    ap.add_argument("--classic", action="store_true",
+                    help="run the r4 peak-of-trials protocol instead of"
+                    " the paired estimator")
     args = ap.parse_args()
+    if not args.classic:
+        run_paired(args)
+        return
     n = args.n
 
     zip_path = "/tmp/searchengine_spark.zip"
