@@ -182,13 +182,36 @@ def main() -> None:
     build_index(spark, corpus, idx_c, cfg_c, resume=False)
     timings["index_build_compressed"] = round(time.time() - t0, 3)
     comp_engine = SearchEngine(spark, idx_c)
+
+    # delta-docids layout (gap-encoded VByte, EngineConfig.delta_docids):
+    # built back-to-back with the raw-id compressed build above, queried
+    # INTERLEAVED with it below, so the pair shares one box window
+    # (VERDICT r4 #7 — the layout halves the dominant column; this is
+    # its query-time cost/benefit evidence)
+    idx_cd = idx_dir + "_compd"
+    cfg_cd = EngineConfig(stopstem=True, skip_threshold=64,
+                          shuffle_partitions=CPUS, compression=True,
+                          delta_docids=True)
+    shutil.rmtree(idx_cd, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, corpus, idx_cd, cfg_cd, resume=False)
+    timings["index_build_compressed_delta"] = round(time.time() - t0, 3)
+    compd_engine = SearchEngine(spark, idx_cd)
+
     comp_engine.search(queries[0], k=10).collect()  # warm plan/footers
-    lat_c = []
+    compd_engine.search(queries[0], k=10).collect()
+    lat_c, lat_cd = [], []
     for q in queries:
         t0 = time.time()
         comp_engine.search(q, k=10).collect()
         lat_c.append(time.time() - t0)
+        t0 = time.time()
+        compd_engine.search(q, k=10).collect()
+        lat_cd.append(time.time() - t0)
     timings["query_bm25_compressed"] = round(statistics.median(lat_c), 3)
+    timings["query_bm25_compressed_delta"] = round(
+        statistics.median(lat_cd), 3
+    )
 
     # --- Zipfian 100k-doc corpus: the selectivity-skewed regime ---
     # The sf documents table has a 24-term near-uniform vocabulary: every
@@ -285,6 +308,33 @@ def main() -> None:
         statistics.median(best1m["maxscore"]), 3
     )
 
+    # warm() evidence at 1M docs (VERDICT r4 #4): at sf0.1 the postings
+    # scan is too small for the persisted frame to matter; here it is
+    # the dominant cost. Cold and warm passes pin the DISTRIBUTED plan
+    # (local=False) — the driver-local fast path never reads the
+    # postings frame warm() persists — and run back-to-back (adjacent
+    # box window), best-of-2 each, same queries.
+    cold1m = []
+    for q in z1qs:
+        per = []
+        for _ in range(2):
+            t0 = time.time()
+            z1.search(q, k=10, local=False).collect()
+            per.append(time.time() - t0)
+        cold1m.append(min(per))
+    timings["query_bm25_1m_cold_dist"] = round(statistics.median(cold1m), 3)
+    z1.warm()
+    warm1m = []
+    for q in z1qs:
+        per = []
+        for _ in range(2):
+            t0 = time.time()
+            z1.search(q, k=10, local=False).collect()
+            per.append(time.time() - t0)
+        warm1m.append(min(per))
+    timings["query_bm25_1m_warm"] = round(statistics.median(warm1m), 3)
+    z1.postings.unpersist(blocking=False)  # release executor memory
+
     # amortized batch path: ONE job for the whole query set
     t0 = time.time()
     engine.batch_search([(f"q{i}", q) for i, q in enumerate(queries)], k=10).count()
@@ -323,12 +373,62 @@ def main() -> None:
     timings["index_build_positions"] = round(time.time() - t0, 3)
     pos_engine = SearchEngine(spark, idx_pos)
 
+    # compressed positional layout (delta+VByte per-(term,doc) arrays,
+    # EngineConfig.compress_positions — round 5): built back-to-back and
+    # queried interleaved with the raw layout; positions dir sizes
+    # recorded for the BASELINE.md datapoint
+    idx_posc = idx_dir + "_posc"
+    shutil.rmtree(idx_posc, ignore_errors=True)
+    cfg_posc = EngineConfig(stopstem=True, skip_threshold=64,
+                            shuffle_partitions=CPUS, positions=True,
+                            compress_positions=True)
+    t0 = time.time()
+    build_index(spark, corpus, idx_posc, cfg_posc, resume=False)
+    timings["index_build_positions_compressed"] = round(time.time() - t0, 3)
+    posc_engine = SearchEngine(spark, idx_posc)
+
+    def _dir_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _dd, fs in os.walk(d) for f in fs
+        )
+
+    positions_bytes_raw = _dir_bytes(os.path.join(idx_pos, "positions"))
+    positions_bytes_compressed = _dir_bytes(
+        os.path.join(idx_posc, "positions")
+    )
+
     # warm the positions footers/plan first, like every other query
     # section (the first call after a fresh build pays worker-pool and
     # file-listing costs that are not the phrase path's)
     pos_engine.phrase_search("merge column", k=10).collect()
+    posc_engine.phrase_search("merge column", k=10).collect()
     timed("query_phrase",
           lambda: pos_engine.phrase_search("merge column", k=10).collect())
+    timed("query_phrase_compressed",
+          lambda: posc_engine.phrase_search("merge column", k=10).collect())
+
+    # sharded index + scatter-gather (index/sharded.py — the 100-TB
+    # deployment shape as an engine API): 4-shard build of the same
+    # corpus, then global top-k fan-out/merge p50 over the query set
+    from searchengine_spark.index.sharded import (
+        ShardedSearchEngine,
+        build_sharded_index,
+    )
+
+    shard_base = idx_dir + "_sharded"
+    shutil.rmtree(shard_base, ignore_errors=True)
+    t0 = time.time()
+    build_sharded_index(spark, corpus, shard_base, 4, cfg, resume=False)
+    timings["index_build_sharded4"] = round(time.time() - t0, 3)
+    sh_engine = ShardedSearchEngine(spark, shard_base)
+    sh_engine.search(queries[0], k=10).collect()  # warm probes/footers
+    lat_sh = []
+    for q in queries:
+        t0 = time.time()
+        sh_engine.search(q, k=10).collect()
+        lat_sh.append(time.time() - t0)
+    timings["query_bm25_sharded_p50"] = round(statistics.median(lat_sh), 3)
 
     timed("query_conjunctive",
           lambda: engine.search("table value row", k=10, mode="conjunctive").collect())
@@ -392,6 +492,8 @@ def main() -> None:
         "build_docs_per_sec_100k": round(n_big / big_sec, 1),
         "build_docs_per_sec_zipf100k": round(100_000 / z_sec, 1),
         "build_tokens_per_sec_zipf100k": round(n_tokens / z_sec, 1),
+        "positions_bytes_raw": positions_bytes_raw,
+        "positions_bytes_compressed": positions_bytes_compressed,
         "cpus": CPUS,
     }))
     spark.stop()

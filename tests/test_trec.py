@@ -65,8 +65,13 @@ def test_efficiency_reports(engine):
     assert batch["n_queries"] == 2 and batch["result_rows"] == 10
     assert batch["amortized_sec_per_query"] > 0
     # the amortized batch cost per query must undercut the serial p50
-    # (one job vs one job per query)
-    assert batch["amortized_sec_per_query"] < serial["p50_sec"] * 2
+    # when both issue Spark jobs (one job vs one job per query). The
+    # serial report is forced DISTRIBUTED here: the default auto gate
+    # routes these tiny queries through the driver-local fast path
+    # (~ms, no Spark job), which beats the batch job at toy scale —
+    # exactly the trade the fast path exists for.
+    serial_dist = efficiency_report(engine, QS, k=5, local=False)
+    assert batch["amortized_sec_per_query"] < serial_dist["p50_sec"] * 2
 
 
 def test_empty_query_set(engine):
