@@ -470,14 +470,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _corpus(spark, sf), max_tokens=64, overlap=16
         ).select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text")
 
-    def phrase_topk(spark, sf):
-        # exact-phrase top-k over the positional index
-        return _engine(spark, sf).phrase_search(Q_PHRASE, k=10).select(
+    def _phrase_df(spark, sf, local):
+        return _engine(spark, sf).phrase_search(
+            Q_PHRASE, k=10, local=local
+        ).select(
             F.col("rank").cast("long").alias("rank"),
             F.col("doc_id").cast("long").alias("doc_id"),
             F.round(F.col("score"), 6).alias("score"),
             F.col("phrase_tf").cast("long").alias("phrase_tf"),
         )
+
+    def phrase_topk(spark, sf):
+        # exact-phrase top-k over the positional index — DISTRIBUTED
+        # plan pinned (the auto gate would route this corpus local)
+        return _phrase_df(spark, sf, local=False)
+
+    def phrase_topk_local(spark, sf):
+        # the driver-local phrase fast path under the same SQL oracle
+        return _phrase_df(spark, sf, local=True)
 
     def bm25_topk_compressed(spark, sf):
         # VByte/Unary-compressed index, same oracle SQL as the raw path:
@@ -737,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_sharded": bm25_topk_sharded,
         "bm25_topk_sharded_conjunctive": bm25_topk_sharded_conjunctive,
         "phrase_topk": phrase_topk,
+        "phrase_topk_local": phrase_topk_local,
         "batch_topk": batch_topk,
         "batch_efficiency_shape": batch_efficiency_shape,
         "dedup_near_groups": dedup_near_groups,
@@ -1182,6 +1193,7 @@ FROM scored
 ORDER BY score DESC, doc_id
 LIMIT 10
 """
+    sql["phrase_topk_local"] = sql["phrase_topk"]
 
     _batch_union = "\nUNION ALL\n".join(
         f"SELECT '{qid}' AS query_id, * FROM ({_topk_sql(text)})"

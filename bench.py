@@ -404,9 +404,20 @@ def main() -> None:
     pos_engine.phrase_search("merge column", k=10).collect()
     posc_engine.phrase_search("merge column", k=10).collect()
     timed("query_phrase",
-          lambda: pos_engine.phrase_search("merge column", k=10).collect())
+          lambda: pos_engine.phrase_search(
+              "merge column", k=10, local=False).collect())
     timed("query_phrase_compressed",
-          lambda: posc_engine.phrase_search("merge column", k=10).collect())
+          lambda: posc_engine.phrase_search(
+              "merge column", k=10, local=False).collect())
+    # driver-local phrase fast path (round 5): p50 over 5 calls — a
+    # single timing at ~ms scale is noise
+    pos_engine.phrase_search("merge column", k=10, local=True).collect()
+    lat_pl = []
+    for _ in range(5):
+        t0 = time.time()
+        pos_engine.phrase_search("merge column", k=10, local=True).collect()
+        lat_pl.append(time.time() - t0)
+    timings["query_phrase_local"] = round(statistics.median(lat_pl), 3)
 
     # sharded index + scatter-gather (index/sharded.py — the 100-TB
     # deployment shape as an engine API): 4-shard build of the same

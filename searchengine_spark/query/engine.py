@@ -44,6 +44,7 @@ Missing query terms are silently dropped (Query.java:134-136).
 from __future__ import annotations
 
 import json
+import math
 import os
 from typing import Iterator, Optional, Sequence
 
@@ -84,6 +85,7 @@ class SearchEngine:
         self._positions_df: Optional[DataFrame] = None
         self._pa_postings = None
         self._pa_lexicon = None
+        self._pa_positions = None
         # None = auto (engage when the query's postings fit the driver
         # gate); True/False force. search(local=...) overrides per call.
         self.local_exec: Optional[bool] = None
@@ -110,6 +112,7 @@ class SearchEngine:
         self._positions_df = None
         self._pa_postings = None
         self._pa_lexicon = None
+        self._pa_positions = None
         with open(os.path.join(self.index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         self.config = EngineConfig.load(self.index_dir)
@@ -170,6 +173,20 @@ class SearchEngine:
                 partitioning="hive",
             )
         return self._pa_postings
+
+    def _positions_dataset(self):
+        """Memoized pyarrow dataset handle for the positional table
+        (phrase fast path) — same once-per-engine listing trade as
+        _postings_dataset."""
+        if self._pa_positions is None:
+            import pyarrow.dataset as ds
+
+            self._pa_positions = ds.dataset(
+                os.path.join(self.index_dir, "positions"),
+                format="parquet",
+                partitioning="hive",
+            )
+        return self._pa_positions
 
     def _lexicon_dataset(self):
         if self._pa_lexicon is None:
@@ -869,6 +886,138 @@ class SearchEngine:
             }
         )
 
+    def _phrase_local_ok(
+        self, terms, stats, override: Optional[bool]
+    ) -> bool:
+        """Gate for the driver-local phrase path: total cf (one position
+        int per term occurrence) under the same RAM bound as
+        _local_ok's df sum, and a positions layout that carries doc_len
+        (every build >= r2)."""
+        if override is False:
+            return False
+        if override is None and self.local_exec is False:
+            return False
+        names = self._positions_dataset().schema.names
+        if "doc_len" not in names:
+            return False
+        if override or self.local_exec:
+            return True
+        return (
+            sum(stats[t]["cf"] for t in set(terms))
+            <= self.LOCAL_EXEC_MAX_POSTINGS
+        )
+
+    def _local_phrase(self, terms, k: int) -> DataFrame:
+        """Driver-side phrase top-k — bit-identical to the distributed
+        phrase plan: identical coverage semantics (a base b matches when
+        every phrase index i has term_i at position b+i), identical
+        scoring double-ops (bm25_partial_py mirrors bm25_partial_expr;
+        score = partial * log10(n_docs / phrase_df) in the same operand
+        order) and identical (partial desc, doc_id asc) ranking — idf is
+        a positive per-query constant, so ranking by the idf-free
+        partial is rank- and tie-identical, as in the distributed path.
+
+        The positional slices arrive via one column-projected,
+        bucket+term-pushed pyarrow read (no Spark job); coverage is an
+        intersect of per-index (doc, base) key sets — doc ids are
+        compacted to local indices first so the int64 key
+        (doc_idx << 32 | base + L) never overflows at any doc_id
+        magnitude."""
+        import numpy as np
+        import pyarrow.dataset as ds
+
+        from ..functions.codecs import vbyte_decode_delta
+        from ..functions.scoring import bm25_partial_py
+
+        L = len(terms)
+        dataset = self._positions_dataset()
+        names = dataset.schema.names
+        compressed = "positions_vb" in names
+        buckets = sorted(
+            {term_bucket_py(t, self.config.n_term_buckets) for t in set(terms)}
+        )
+        cols = ["term", "doc_id", "doc_len"] + (
+            ["positions_vb"] if compressed else ["positions"]
+        )
+        tbl = dataset.to_table(
+            filter=ds.field("term_bucket").isin(buckets)
+            & ds.field("term").isin(list(set(terms))),
+            columns=cols,
+        ).combine_chunks()
+
+        def empty() -> DataFrame:
+            return self.spark.createDataFrame(
+                [], "rank int, doc_id long, score double, phrase_tf int"
+            )
+
+        if tbl.num_rows == 0:
+            return empty()
+        term_col = np.asarray(tbl["term"].to_pylist())
+        doc_col = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl_col = tbl["doc_len"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        if compressed:
+            pos_rows = [
+                (vbyte_decode_delta(b.as_py()) - 1).astype(np.int64)
+                for b in tbl["positions_vb"]
+            ]
+        else:
+            arr = tbl["positions"].chunk(0)
+            vals = arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            pos_rows = [vals[offs[r] : offs[r + 1]] for r in range(len(offs) - 1)]
+
+        docs_unique, doc_idx = np.unique(doc_col, return_inverse=True)
+        dl_by_doc = np.zeros(docs_unique.size, dtype=np.float64)
+        dl_by_doc[doc_idx] = dl_col
+
+        rows_by_term: dict[str, np.ndarray] = {
+            t: np.flatnonzero(term_col == t) for t in set(terms)
+        }
+        inter = None
+        for i, t in enumerate(terms):
+            rs = rows_by_term[t]
+            if rs.size == 0:
+                return empty()
+            keys = np.concatenate(
+                [
+                    (doc_idx[r] << np.int64(32)) + (pos_rows[r] - i + L)
+                    for r in rs
+                ]
+            )
+            keys.sort()
+            inter = (
+                keys
+                if inter is None
+                else np.intersect1d(inter, keys, assume_unique=True)
+            )
+            if inter.size == 0:
+                return empty()
+        hit_idx, ptf = np.unique(inter >> np.int64(32), return_counts=True)
+        phrase_df = hit_idx.size
+        partial = bm25_partial_py(
+            ptf.astype(np.float64),
+            dl_by_doc[hit_idx],
+            self.stats["avgdl"],
+            self.config.k1,
+            self.config.b,
+        )
+        hit_docs = docs_unique[hit_idx]
+        order = np.lexsort((hit_docs, -partial))[:k]
+        idf = math.log10(float(self.stats["n_docs"]) / phrase_df)
+        score = partial[order] * idf
+        rows = ",".join(
+            f"({r + 1}, {int(d)}L, CAST('{float(s)!r}' AS DOUBLE), {int(tf)})"
+            for r, (d, s, tf) in enumerate(
+                zip(hit_docs[order], score, ptf[order])
+            )
+        )
+        return self.spark.sql(
+            f"SELECT * FROM VALUES {rows} "
+            "AS t(rank, doc_id, score, phrase_tf)"
+        )
+
     # ---------- algorithms ----------
 
     def _daat(self, terms, stats, scorer: str, k: int) -> DataFrame:
@@ -1093,7 +1242,9 @@ class SearchEngine:
             df.unpersist(blocking=False)
         self._phrase_caches = [new] if new is not None else []
 
-    def phrase_search(self, phrase: str, k: int = 10) -> DataFrame:
+    def phrase_search(
+        self, phrase: str, k: int = 10, local: Optional[bool] = None
+    ) -> DataFrame:
         """Exact phrase top-k over the positional index (requires a build
         with ``positions=True``). A phrase occurrence is a run of the
         phrase's terms at consecutive positions of the POST-pipeline
@@ -1153,6 +1304,12 @@ class SearchEngine:
         stats = self._term_stats(terms)
         if any(t not in stats for t in terms):
             return empty()  # strict: unknown word => phrase cannot occur
+
+        # driver-local fast path (same design + gate as _local_topk):
+        # the phrase terms' positional slices are gated on total cf —
+        # one position int per occurrence is the dominant footprint
+        if self._phrase_local_ok(terms, stats, local):
+            return self._local_phrase(terms, k)
 
         # resolve the positions frame ONCE per engine (directory listing
         # + schema read are driver-side costs a per-query re-read would

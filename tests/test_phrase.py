@@ -146,3 +146,41 @@ def test_compressed_positions_phrase_identical(phrase_engine, phrase_engine_cp):
             for r in phrase_engine_cp.phrase_search(p, k=10).collect()
         ]
         assert got == want, p
+
+
+@pytest.mark.parametrize("eng_fixture", ["phrase_engine", "phrase_engine_cp"])
+def test_phrase_local_equals_distributed(request, eng_fixture):
+    """The driver-local phrase fast path (round 5) must return rows
+    IDENTICAL to the distributed plan — rank, doc_id, score bits,
+    phrase_tf — on both positional layouts, including repeated-term
+    phrases and non-matching/unknown phrases."""
+    eng = request.getfixturevalue(eng_fixture)
+    phrases = [
+        "fast join", "fast of join", "fast join fast", "spark fast",
+        "join", "fast zeppelin", "",
+    ]
+    for p in phrases:
+        dist = [
+            r.asDict()
+            for r in eng.phrase_search(p, k=10, local=False).collect()
+        ]
+        loc = [
+            r.asDict()
+            for r in eng.phrase_search(p, k=10, local=True).collect()
+        ]
+        assert loc == dist, p
+
+
+def test_phrase_auto_gate_routes_local(phrase_engine):
+    """At this corpus size the cf gate auto-routes phrase queries
+    through the local path (no Spark job): pin by forcing the gate shut
+    and checking both answers still agree (the auto answer must equal
+    the forced-distributed answer regardless of routing)."""
+    auto = [
+        r.asDict() for r in phrase_engine.phrase_search("fast join").collect()
+    ]
+    dist = [
+        r.asDict()
+        for r in phrase_engine.phrase_search("fast join", local=False).collect()
+    ]
+    assert auto == dist
