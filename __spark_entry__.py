@@ -489,6 +489,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the driver-local phrase fast path under the same SQL oracle
         return _phrase_df(spark, sf, local=True)
 
+    def phrase_topk_sharded(spark, sf):
+        # scatter-gather phrase over the 3-shard index (global phrase_df
+        # summed across shards, global stats injected) — same SQL oracle
+        return _sharded_engine(spark, sf).phrase_search(
+            Q_PHRASE, k=10
+        ).select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round(F.col("score"), 6).alias("score"),
+            F.col("phrase_tf").cast("long").alias("phrase_tf"),
+        )
+
     def bm25_topk_compressed(spark, sf):
         # VByte/Unary-compressed index, same oracle SQL as the raw path:
         # results must be identical (C1/C2/S6 + _decode_blocks under oracle)
@@ -748,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_sharded_conjunctive": bm25_topk_sharded_conjunctive,
         "phrase_topk": phrase_topk,
         "phrase_topk_local": phrase_topk_local,
+        "phrase_topk_sharded": phrase_topk_sharded,
         "batch_topk": batch_topk,
         "batch_efficiency_shape": batch_efficiency_shape,
         "dedup_near_groups": dedup_near_groups,
@@ -1194,6 +1207,7 @@ ORDER BY score DESC, doc_id
 LIMIT 10
 """
     sql["phrase_topk_local"] = sql["phrase_topk"]
+    sql["phrase_topk_sharded"] = sql["phrase_topk"]
 
     _batch_union = "\nUNION ALL\n".join(
         f"SELECT '{qid}' AS query_id, * FROM ({_topk_sql(text)})"

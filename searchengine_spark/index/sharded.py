@@ -234,3 +234,117 @@ class ShardedSearchEngine:
         return merged.withColumn("rank", F.row_number().over(w)).select(
             "rank", "doc_id", "score"
         )
+
+    def phrase_search(
+        self, phrase: str, k: int = 10, local: Optional[bool] = None
+    ) -> DataFrame:
+        """Scatter-gather exact-phrase top-k (requires shards built with
+        ``positions=True``). Identical to a single-index phrase query:
+
+        * a matching doc lives wholly in one shard, so every shard whose
+          lexicon misses any phrase term contributes nothing (and a term
+          missing from EVERY shard is globally unknown — strict empty);
+        * per-shard k suffices: ranking is by the idf-free partial, a
+          per-doc quantity, so the global top-k is contained in the
+          union of per-shard top-k under the same total order;
+        * the global phrase_df is the SUM of the disjoint per-shard
+          matched-doc counts, and every shard scores with the global
+          avgdl/n_docs already injected — score bits match a single
+          index exactly.
+        """
+        terms = self.engines[0].tokenize_phrase(phrase)
+
+        def empty() -> DataFrame:
+            return self.spark.createDataFrame(
+                [], "rank int, doc_id long, score double, phrase_tf int"
+            )
+
+        if not terms:
+            return empty()
+        per_shard = [e._term_stats(terms) for e in self.engines]
+        if any(all(t not in s for s in per_shard) for t in set(terms)):
+            return empty()  # globally unknown term: strict semantics
+        participating = [
+            (e, s)
+            for e, s in zip(self.engines, per_shard)
+            if all(t in s for t in terms)
+        ]
+        if not participating:
+            return empty()
+
+        use_local = local
+        if use_local is None:
+            total_cf = sum(
+                s[t]["cf"] for _e, s in participating for t in set(terms)
+            )
+            # total cf across shards bounds the lone driver's footprint
+            # (it reads every participating shard's slices); per-shard
+            # layout must carry doc_len like the single-engine gate
+            use_local = total_cf <= SearchEngine.LOCAL_EXEC_MAX_POSTINGS and all(
+                "doc_len" in e._positions_dataset().schema.names
+                for e, _s in participating
+            )
+
+        if use_local:
+            parts = []
+            df_total = 0
+            for e, _s in participating:
+                pdf, n = e._local_phrase(terms, k, raw=True)
+                df_total += n
+                if len(pdf):
+                    parts.append(pdf)
+            if not parts or df_total == 0:
+                return empty()
+            merged = (
+                pd.concat(parts, ignore_index=True)
+                .sort_values(
+                    ["partial", "doc_id"],
+                    ascending=[False, True],
+                    kind="mergesort",
+                )
+                .head(k)
+            )
+            idf = math.log10(float(self.stats["n_docs"]) / df_total)
+            rows = ",".join(
+                f"({r + 1}, {int(d)}L, CAST('{float(p) * idf!r}' AS DOUBLE),"
+                f" {int(tf)})"
+                for r, (d, p, tf) in enumerate(
+                    zip(merged["doc_id"], merged["partial"], merged["phrase_tf"])
+                )
+            )
+            return self.spark.sql(
+                f"SELECT * FROM VALUES {rows} "
+                "AS t(rank, doc_id, score, phrase_tf)"
+            )
+
+        topks, dfrows = [], []
+        for e, _s in participating:
+            t, d = e.phrase_search(phrase, k=k, local=False, _raw=True)
+            topks.append(t)
+            dfrows.append(d)
+        union = topks[0]
+        for t in topks[1:]:
+            union = union.unionByName(t)
+        dfu = dfrows[0]
+        for d in dfrows[1:]:
+            dfu = dfu.unionByName(d)
+        total_row = dfu.agg(
+            F.sum("phrase_df").cast("long").alias("phrase_df")
+        )
+        merged = (
+            union.orderBy(F.desc("_partial"), F.asc("doc_id"))
+            .limit(k)
+            .crossJoin(F.broadcast(total_row))
+        )
+        idf_col = F.log10(
+            F.lit(float(self.stats["n_docs"])) / F.col("phrase_df")
+        )
+        scored = merged.select(
+            "doc_id",
+            (F.col("_partial") * idf_col).alias("score"),
+            "phrase_tf",
+        )
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return scored.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "doc_id", "score", "phrase_tf"
+        )

@@ -907,7 +907,7 @@ class SearchEngine:
             <= self.LOCAL_EXEC_MAX_POSTINGS
         )
 
-    def _local_phrase(self, terms, k: int) -> DataFrame:
+    def _local_phrase(self, terms, k: int, raw: bool = False):
         """Driver-side phrase top-k — bit-identical to the distributed
         phrase plan: identical coverage semantics (a base b matches when
         every phrase index i has term_i at position b+i), identical
@@ -945,7 +945,20 @@ class SearchEngine:
             columns=cols,
         ).combine_chunks()
 
-        def empty() -> DataFrame:
+        def empty():
+            if raw:
+                return (
+                    pd.DataFrame(
+                        {"doc_id": [], "partial": [], "phrase_tf": []}
+                    ).astype(
+                        {
+                            "doc_id": "int64",
+                            "partial": "float64",
+                            "phrase_tf": "int64",
+                        }
+                    ),
+                    0,
+                )
             return self.spark.createDataFrame(
                 [], "rank int, doc_id long, score double, phrase_tf int"
             )
@@ -1005,6 +1018,19 @@ class SearchEngine:
         )
         hit_docs = docs_unique[hit_idx]
         order = np.lexsort((hit_docs, -partial))[:k]
+        if raw:
+            # scatter-gather consumers (index/sharded.py) rank globally
+            # on the idf-free partial and attach the GLOBAL phrase_df
+            return (
+                pd.DataFrame(
+                    {
+                        "doc_id": hit_docs[order],
+                        "partial": partial[order],
+                        "phrase_tf": ptf[order].astype(np.int64),
+                    }
+                ),
+                int(phrase_df),
+            )
         idf = math.log10(float(self.stats["n_docs"]) / phrase_df)
         score = partial[order] * idf
         rows = ",".join(
@@ -1242,9 +1268,24 @@ class SearchEngine:
             df.unpersist(blocking=False)
         self._phrase_caches = [new] if new is not None else []
 
+    def tokenize_phrase(self, phrase: str) -> list[str]:
+        """Phrase tokenization = the DOCUMENT pipeline (order-preserving,
+        duplicates kept — a phrase is a token sequence, not a term set),
+        truncated to term_dim like every indexed term."""
+        from ..functions.text import tokenize_doc_py
+
+        return [
+            t[: self.config.term_dim]
+            for t in tokenize_doc_py(phrase, self.config)
+        ]
+
     def phrase_search(
-        self, phrase: str, k: int = 10, local: Optional[bool] = None
-    ) -> DataFrame:
+        self,
+        phrase: str,
+        k: int = 10,
+        local: Optional[bool] = None,
+        _raw: bool = False,
+    ):
         """Exact phrase top-k over the positional index (requires a build
         with ``positions=True``). A phrase occurrence is a run of the
         phrase's terms at consecutive positions of the POST-pipeline
@@ -1282,12 +1323,7 @@ class SearchEngine:
             raise RuntimeError(
                 "no positional index: build with EngineConfig(positions=True)"
             )
-        from ..functions.text import tokenize_doc_py
-
-        terms = [
-            t[: self.config.term_dim]
-            for t in tokenize_doc_py(phrase, self.config)
-        ]
+        terms = self.tokenize_phrase(phrase)
 
         def empty() -> DataFrame:
             # phrase_tf is int in BOTH the empty and populated paths
@@ -1309,7 +1345,7 @@ class SearchEngine:
         # the phrase terms' positional slices are gated on total cf —
         # one position int per occurrence is the dominant footprint
         if self._phrase_local_ok(terms, stats, local):
-            return self._local_phrase(terms, k)
+            return self._local_phrase(terms, k, raw=_raw)
 
         # resolve the positions frame ONCE per engine (directory listing
         # + schema read are driver-side costs a per-query re-read would
@@ -1430,6 +1466,10 @@ class SearchEngine:
         phrase_df_row = ptf.agg(
             F.count("*").cast("long").alias("phrase_df")
         )
+        if _raw:
+            # scatter-gather: (doc_id, _partial, phrase_tf) top-k + the
+            # 1-row matched-doc count; the caller attaches a GLOBAL idf
+            return topk, phrase_df_row
         topk = topk.crossJoin(F.broadcast(phrase_df_row))
         idf = F.log10(F.lit(float(self.stats["n_docs"])) / F.col("phrase_df"))
         topk = topk.select(

@@ -184,3 +184,40 @@ def test_phrase_auto_gate_routes_local(phrase_engine):
         for r in phrase_engine.phrase_search("fast join", local=False).collect()
     ]
     assert auto == dist
+
+
+@pytest.fixture(scope="module")
+def sharded_phrase(spark, tmp_path_factory):
+    from searchengine_spark.index.sharded import (
+        ShardedSearchEngine,
+        build_sharded_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("pidx_sh") / "idx")
+    corpus = spark.createDataFrame(
+        DOCS, "repo string, path string, commit string, lang string, content string"
+    )
+    build_sharded_index(spark, corpus, d, 2, CFG)
+    return ShardedSearchEngine(spark, d)
+
+
+@pytest.mark.parametrize("local", [True, False, None])
+def test_sharded_phrase_equals_single(phrase_engine, sharded_phrase, local):
+    """Scatter-gather phrase results — rank, doc_id, score bits,
+    phrase_tf — must equal the single positional index on every phrase,
+    through the driver-local merge, the distributed union, and the auto
+    gate."""
+    phrases = [
+        "fast join", "fast of join", "fast join fast", "spark fast",
+        "join", "fast zeppelin", "",
+    ]
+    for p in phrases:
+        want = [
+            r.asDict()
+            for r in phrase_engine.phrase_search(p, k=10, local=False).collect()
+        ]
+        got = [
+            r.asDict()
+            for r in sharded_phrase.phrase_search(p, k=10, local=local).collect()
+        ]
+        assert got == want, (p, local)
