@@ -45,21 +45,52 @@ def cmd_build(args) -> None:
         positions=args.positions,
     )
     corpus = load_documents_as_corpus(spark, args.input)
+    if args.shards and args.shards > 1:
+        from .index.sharded import build_sharded_index
+
+        rep = build_sharded_index(
+            spark, corpus, args.index, args.shards, cfg,
+            resume=not args.no_resume,
+        )
+        print(json.dumps(rep["manifest"]["stats"]))
+        return
     manifest = build_index(spark, corpus, args.index, cfg, resume=not args.no_resume)
     print(json.dumps({s: v.get("duration_sec") for s, v in manifest["stages"].items()}))
 
 
-def cmd_query(args) -> None:
+def _open_engine(spark, index_dir: str):
+    """SearchEngine or ShardedSearchEngine by what's on disk — a sharded
+    manifest makes `query`/`repl` scatter-gather transparently."""
+    import os
+
     from .query.engine import SearchEngine
 
+    if os.path.exists(os.path.join(index_dir, "sharded_manifest.json")):
+        from .index.sharded import ShardedSearchEngine
+
+        return ShardedSearchEngine(spark, index_dir)
+    return SearchEngine(spark, index_dir)
+
+
+def cmd_query(args) -> None:
     spark = _spark(args.cpus)
-    engine = SearchEngine(spark, args.index)
+    engine = _open_engine(spark, args.index)
     if args.phrase:
         result = engine.phrase_search(args.text, k=args.k)
-        result = engine.doctable.select("doc_id", "docno").join(
+        doct = (
+            engine.engines[0].doctable
+            if hasattr(engine, "engines")
+            else engine.doctable
+        )
+        if hasattr(engine, "engines"):
+            for e in engine.engines[1:]:
+                doct = doct.unionByName(e.doctable)
+        result = doct.select("doc_id", "docno").join(
             result, "doc_id"
         ).select("rank", "doc_id", "docno", "score")
     else:
+        # SearchEngine and ShardedSearchEngine share this signature
+        # (sharded degrades maxscore to DAAT — identical results)
         result = engine.search(
             args.text,
             k=args.k,
@@ -149,14 +180,15 @@ def run_repl(engine, in_stream, out_stream) -> None:
 
 
 def cmd_repl(args) -> None:
-    from .query.engine import SearchEngine
-
     spark = _spark(args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
     # the reference loads its whole index into RAM before the prompt
     # loop (Main.java / Query.java:62-72); warm() is the distributed
-    # analogue, so interactive latency matches that usage pattern
-    engine = SearchEngine(spark, args.index).warm()
+    # analogue, so interactive latency matches that usage pattern.
+    # Sharded indexes are auto-detected (scatter-gather; no warm()).
+    engine = _open_engine(spark, args.index)
+    if hasattr(engine, "warm"):
+        engine = engine.warm()
     run_repl(engine, sys.stdin, sys.stdout)
 
 
@@ -265,6 +297,10 @@ def main(argv=None) -> None:
     b.add_argument("--positions", action="store_true",
                    help="also build the positional index (phrase queries)")
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--shards", type=int, default=1,
+                   help="build N self-contained shard indexes + manifest "
+                   "(index/sharded.py); query/repl auto-detect and "
+                   "scatter-gather")
     b.add_argument("--cpus", type=int)
     b.set_defaults(fn=cmd_build)
 

@@ -157,20 +157,41 @@ class ShardedSearchEngine:
         k: int = 10,
         mode: str = "disjunctive",
         scorer: str = "bm25",
+        algo: str = "daat",
+        with_docno: bool = False,
         local: Optional[bool] = None,
     ) -> DataFrame:
         """Global top-k: fan out to every shard (per-shard k — see module
         docstring for why that suffices), merge by (score desc, doc_id
         asc), keep k. Returns (rank, doc_id, score) bit-identical in
         doc_ids/scores to a single-index DAAT run up to idf's last ulp
-        (idf is recomputed from the exact global df)."""
+        (idf is recomputed from the exact global df). ``algo`` is
+        accepted for SearchEngine API parity; ``maxscore`` degrades to
+        DAAT here (results identical — MaxScore only prunes): the
+        persisted per-block maxima embed each shard's LOCAL idf, which
+        is not an upper bound under the injected global idf (module
+        docstring)."""
+        del algo
+
+        def _finish(result: DataFrame) -> DataFrame:
+            if not with_docno:
+                return result
+            # broadcast the k-row result and stream the (unioned) shard
+            # doctables past it — same shape as SearchEngine.search
+            doct = self.engines[0].doctable.select("doc_id", "docno")
+            for e in self.engines[1:]:
+                doct = doct.unionByName(e.doctable.select("doc_id", "docno"))
+            return doct.join(F.broadcast(result), "doc_id").select(
+                "rank", "doc_id", "docno", "score"
+            )
+
         terms = self.tokenize_query(query)
         gstats, per_shard = self._global_term_stats(terms)
         terms = [t for t in terms if t in gstats]
         if not terms:
-            return self.spark.createDataFrame(
+            return _finish(self.spark.createDataFrame(
                 [], "rank int, doc_id long, score double"
-            )
+            ))
         shard_terms: list[list[str]] = []
         for sstats in per_shard:
             ts = [t for t in terms if t in sstats]
@@ -208,9 +229,9 @@ class ShardedSearchEngine:
                 ["score", "doc_id"], ascending=[False, True], kind="mergesort"
             ).head(k)
             merged["rank"] = range(1, len(merged) + 1)
-            return self.engines[0]._local_df(
+            return _finish(self.engines[0]._local_df(
                 merged[["rank", "doc_id", "score"]]
-            )
+            ))
 
         parts_df = []
         for e, ts, sstats in zip(self.engines, shard_terms, per_shard):
@@ -223,16 +244,18 @@ class ShardedSearchEngine:
                 topk = e._daat(ts, sub, scorer, k)
             parts_df.append(topk.select("doc_id", "score"))
         if not parts_df:
-            return self.spark.createDataFrame(
+            return _finish(self.spark.createDataFrame(
                 [], "rank int, doc_id long, score double"
-            )
+            ))
         union = parts_df[0]
         for p in parts_df[1:]:
             union = union.unionByName(p)
         merged = union.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        return merged.withColumn("rank", F.row_number().over(w)).select(
-            "rank", "doc_id", "score"
+        return _finish(
+            merged.withColumn("rank", F.row_number().over(w)).select(
+                "rank", "doc_id", "score"
+            )
         )
 
     def phrase_search(

@@ -104,3 +104,28 @@ def test_sharded_build_is_resumable(spark, corpus, sharded):
 def test_unknown_and_empty_queries(sharded):
     assert _rows(sharded.search("zzzunknownzzz", k=10)) == []
     assert _rows(sharded.search("the and of", k=10)) == []
+
+
+def test_cli_open_engine_autodetects_sharded(spark, sharded, index_dir):
+    """`query`/`repl` route through ShardedSearchEngine when a sharded
+    manifest is on disk, SearchEngine otherwise; the repl prompt loop
+    (with_docno + algo paths) runs unchanged over the sharded engine."""
+    import io
+
+    from searchengine_spark.__main__ import _open_engine, run_repl
+    from searchengine_spark.query.engine import SearchEngine
+
+    assert isinstance(_open_engine(spark, index_dir), SearchEngine)
+    eng = _open_engine(spark, sharded.base_dir)
+    assert isinstance(eng, ShardedSearchEngine)
+
+    out = io.StringIO()
+    run_repl(
+        eng,
+        io.StringIO("spark table\nd\nb\nm\n10\nx\n"),
+        out,
+    )
+    text = out.getvalue()
+    assert "SEARCH ENGINE" in text
+    # at least one ranked result line got printed
+    assert any(line.strip().startswith("1 ") for line in text.splitlines())
