@@ -275,6 +275,12 @@ class ShardedSearchEngine:
           avgdl/n_docs already injected — score bits match a single
           index exactly.
         """
+        if not os.path.exists(
+            os.path.join(self.engines[0].index_dir, "positions")
+        ):
+            raise RuntimeError(
+                "no positional index: build with EngineConfig(positions=True)"
+            )
         terms = self.engines[0].tokenize_phrase(phrase)
 
         def empty() -> DataFrame:

@@ -129,3 +129,8 @@ def test_cli_open_engine_autodetects_sharded(spark, sharded, index_dir):
     assert "SEARCH ENGINE" in text
     # at least one ranked result line got printed
     assert any(line.strip().startswith("1 ") for line in text.splitlines())
+
+
+def test_sharded_phrase_requires_positions(sharded):
+    with pytest.raises(RuntimeError, match="positional index"):
+        sharded.phrase_search("spark table")
