@@ -544,6 +544,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def batch_topk_sharded(spark, sf):
+        # scatter-gather batch: one job per shard with global idf +
+        # known-term sets injected, per-query re-rank — same SQL oracle
+        return (
+            _sharded_engine(spark, sf)
+            .batch_search(BATCH_QUERIES, k=10)
+            .select(
+                "query_id",
+                F.col("rank").cast("long").alias("rank"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.round(F.col("score"), 6).alias("score"),
+            )
+        )
+
     def simhash_fingerprints(spark, sf):
         return DD.simhash64(_shingled(spark, sf))
 
@@ -762,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk_local": phrase_topk_local,
         "phrase_topk_sharded": phrase_topk_sharded,
         "batch_topk": batch_topk,
+        "batch_topk_sharded": batch_topk_sharded,
         "batch_efficiency_shape": batch_efficiency_shape,
         "dedup_near_groups": dedup_near_groups,
         "retrieval_effectiveness": retrieval_effectiveness,
@@ -1214,6 +1229,7 @@ LIMIT 10
         for qid, text in BATCH_QUERIES
     )
     sql["batch_topk"] = _batch_union
+    sql["batch_topk_sharded"] = _batch_union
 
     # S10 "e" mode deterministic surface: per-query result counts over
     # the same batch union, zero-result queries kept via LEFT JOIN

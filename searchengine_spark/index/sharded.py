@@ -258,6 +258,54 @@ class ShardedSearchEngine:
             )
         )
 
+    def batch_search(
+        self,
+        queries: Sequence[tuple[str, str]],
+        k: int = 10,
+        mode: str = "disjunctive",
+        scorer: str = "bm25",
+        algo: str = "daat",
+    ) -> DataFrame:
+        """Scatter-gather batch (the reference's TestPerformance shape):
+        each shard runs ONE batch job with the GLOBAL per-term df/idf
+        and global known-term sets injected (engine.batch_search's
+        term_stats hook), then per-query re-rank of the unioned
+        per-shard top-k. Exact vs a single index: a term absent from a
+        shard's lexicon occurs in none of its docs, so per-(query, doc)
+        folds see exactly the postings a single index would, with the
+        same sorted-term summation order; the conjunctive n_hit ==
+        n_q_terms test uses the global term count. ``algo='maxscore'``
+        degrades to DAAT here (identical results) — per-shard theta
+        metadata embeds shard-local idf (see search())."""
+        del algo
+        all_terms = sorted(
+            {
+                t
+                for _qid, text in queries
+                for t in self.engines[0].tokenize_query(text)
+            }
+        )
+        gstats, _ = self._global_term_stats(all_terms)
+        parts = [
+            e.batch_search(
+                queries, k=k, mode=mode, scorer=scorer, algo="daat",
+                term_stats=gstats,
+            )
+            for e in self.engines
+        ]
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            union.select("query_id", "doc_id", "score")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
     def phrase_search(
         self, phrase: str, k: int = 10, local: Optional[bool] = None
     ) -> DataFrame:

@@ -1489,6 +1489,7 @@ class SearchEngine:
         mode: str = "disjunctive",
         scorer: str = "bm25",
         algo: str = "daat",
+        term_stats: Optional[dict] = None,
     ) -> DataFrame:
         """Run (query_id, text) pairs as ONE Spark job; returns a
         TREC-run-shaped DataFrame (query_id, rank, doc_id, score) — S10's
@@ -1514,7 +1515,16 @@ class SearchEngine:
         are identical to DAAT by construction either way."""
         tokenized = [(qid, self.tokenize_query(text)) for qid, text in queries]
         all_terms = sorted({t for _, ts in tokenized for t in ts})
-        stats = self._term_stats(all_terms)  # ONE lexicon probe
+        # ``term_stats`` lets a scatter-gather caller (index/sharded.py)
+        # inject GLOBAL df/idf and the GLOBAL known-term sets: terms the
+        # dict knows but this shard's lexicon doesn't simply match no
+        # postings, and n_q_terms stays the global count so the
+        # conjunctive filter is exact per shard
+        stats = (
+            term_stats
+            if term_stats is not None
+            else self._term_stats(all_terms)  # ONE lexicon probe
+        )
         rows = []
         for qid, ts in tokenized:
             known = sorted({t for t in ts if t in stats})

@@ -134,3 +134,20 @@ def test_cli_open_engine_autodetects_sharded(spark, sharded, index_dir):
 def test_sharded_phrase_requires_positions(sharded):
     with pytest.raises(RuntimeError, match="positional index"):
         sharded.phrase_search("spark table")
+
+
+@pytest.mark.parametrize("mode", ["disjunctive", "conjunctive"])
+def test_sharded_batch_equals_single(single, sharded, mode):
+    """Scatter-gather batch (ONE job per shard, global idf + global
+    known-term sets injected) must reproduce the single-index batch
+    rows exactly across the whole query set."""
+    qs = [(f"q{i}", q) for i, q in enumerate(QUERIES)]
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in df.collect()
+        )
+
+    want = rows(single.batch_search(qs, k=10, mode=mode))
+    assert rows(sharded.batch_search(qs, k=10, mode=mode)) == want
